@@ -1,0 +1,197 @@
+package graft
+
+import graft.model.CascadeConfig
+import graft.stages.Ingest
+
+/** DuckDB-dialect SQL equivalents of the engine's checks, generated from the
+  * same config the Spark side uses so thresholds can never drift. Every
+  * fragment mirrors the corresponding Catalyst expression in
+  * graft.functions.TextFeatures / graft.stages operation-for-operation
+  * (same integer arithmetic, same cast points, same IEEE double operation
+  * order), so results are bit-identical between Spark and the oracle.
+  */
+object OracleSql {
+
+  // ---- text features over documents.text (mirror TextFeatures) ----
+  val nc     = "length(text)"
+  val nsp    = "(length(text) - length(replace(text, ' ', '')))"
+  val nw     = s"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE $nsp + 1 END)"
+  val nalpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+  val ndig   = "length(regexp_replace(text, '[^0-9]', '', 'g'))"
+  val nnl    = "(length(text) - length(replace(text, chr(10), '')))"
+  val mwl    = s"(CASE WHEN $nw > 0 THEN CAST($nc - $nsp AS DOUBLE) / CAST($nw AS DOUBLE) END)"
+  val symr   = s"(CASE WHEN $nc > 0 THEN CAST($nc - $nalpha - $ndig - $nsp - $nnl AS DOUBLE) / CAST($nc AS DOUBLE) END)"
+
+  def wordOcc(w: String): String = {
+    val n = w.length + 2
+    s"(CAST(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', '')) AS DOUBLE) / $n.0)"
+  }
+  val stopHits: String = Ingest.EnStopwords.map(wordOcc).mkString("(", " + ", ")")
+  val stopr: String    = s"(CASE WHEN $nw > 0 THEN $stopHits / CAST($nw AS DOUBLE) END)"
+
+  val normText    = "lower(trim(regexp_replace(text, '[ \\t\\n\\r]+', ' ', 'g')))"
+  val fingerprint = s"md5($normText)"
+  val dwr = s"(CASE WHEN $nw > 0 THEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / CAST($nw AS DOUBLE) END)"
+
+  // ---- row-local check predicates (mirror RowChecks) ----
+  def metaFail(c: CascadeConfig): String =
+    s"(text IS NULL OR length(trim(text)) = 0 OR $nc < ${c.minChars} OR $nc > ${c.maxChars})"
+
+  def plausFail(c: CascadeConfig): String =
+    s"($nw < ${c.minWords} OR $nw > ${c.maxWords} OR $mwl < ${c.meanWordLen.min} OR " +
+      s"$mwl > ${c.meanWordLen.max} OR $symr > ${c.maxSymbolRatio})"
+
+  def langBoundsFail(c: CascadeConfig): String = {
+    val thresh = c.langStopMin.foldLeft("CAST('-infinity' AS DOUBLE)") {
+      case (acc, (lang, min)) => s"(CASE WHEN lang = '$lang' THEN $min ELSE $acc END)"
+    }
+    s"($stopr < $thresh)"
+  }
+
+  def langMismatchFail(c: CascadeConfig): String =
+    s"($stopr >= ${c.langMismatchMinConf} AND lang <> 'en')"
+
+  // ---- single-check query oracles over the documents table ----
+  private def singleCheck(fail: String, code: Int): String =
+    s"SELECT doc_id, CASE WHEN $fail THEN $code END AS dqc FROM documents ORDER BY doc_id"
+
+  def qMetadata(c: CascadeConfig): String     = singleCheck(metaFail(c), 901)
+  def qPlausibility(c: CascadeConfig): String = singleCheck(plausFail(c), 501)
+  def qLangBounds(c: CascadeConfig): String   = singleCheck(langBoundsFail(c), 502)
+  def qLangMismatch(c: CascadeConfig): String = singleCheck(langMismatchFail(c), 902)
+
+  /** Buddy-check z-score machinery over an alive-filtered population.
+    * `alive` is a boolean SQL expression in scope of the joined row.
+    */
+  private def buddyStats(src: String, alive: String): String =
+    s"""SELECT source,
+       |  CAST(SUM(CASE WHEN $alive THEN CAST(nw AS BIGINT) END) AS BIGINT) AS s,
+       |  CAST(SUM(CASE WHEN $alive THEN CAST(nw AS BIGINT) * CAST(nw AS BIGINT) END) AS BIGINT) AS q,
+       |  COUNT(CASE WHEN $alive THEN 1 END) AS n
+       |FROM $src GROUP BY source""".stripMargin
+
+  /** mean / sd / z computed exactly as Neighborhood.buddyRound does. */
+  val buddyMean = "(CAST(s - CAST(nw AS BIGINT) AS DOUBLE) / CAST(n - 1 AS DOUBLE))"
+  val buddyVr   = "((CAST(q - CAST(nw AS BIGINT) * CAST(nw AS BIGINT) AS DOUBLE) - " +
+    "CAST(n - 1 AS DOUBLE) * mean * mean) / CAST(n - 2 AS DOUBLE))"
+
+  def qBuddy(c: CascadeConfig): String =
+    s"""WITH f AS (SELECT doc_id, source, $nw AS nw FROM documents),
+       |st AS (${buddyStats("f", "TRUE")}),
+       |j AS (SELECT f.doc_id, f.nw, st.s, st.q, st.n FROM f LEFT JOIN st USING (source)),
+       |m AS (SELECT doc_id, nw, s, q, n, $buddyMean AS mean FROM j),
+       |v AS (SELECT doc_id, nw, n, mean, sqrt(greatest($buddyVr, 0.0)) AS sd FROM m)
+       |SELECT doc_id, CASE WHEN n - 1 >= ${c.buddyMinN} AND sd > 0.0 AND
+       |  abs((CAST(nw AS DOUBLE) - mean) / sd) > ${c.buddyZ} THEN 10 END AS dqc
+       |FROM v ORDER BY doc_id""".stripMargin
+
+  def qSct(c: CascadeConfig): String =
+    s"""WITH f AS (SELECT doc_id, source, CAST($nw AS DOUBLE) AS x FROM documents),
+       |m AS (SELECT source, quantile_cont(x, 0.5) AS med, COUNT(x) AS n FROM f GROUP BY source),
+       |d AS (SELECT f.doc_id, f.source, f.x, m.med, m.n, abs(f.x - m.med) AS dev
+       |      FROM f LEFT JOIN m USING (source)),
+       |md AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY source)
+       |SELECT doc_id, CASE WHEN n >= ${c.sctMinN} AND mad > 0.0 AND
+       |  dev / (1.4826 * mad) > ${c.sctZ} THEN 1 END AS dqc
+       |FROM d LEFT JOIN md USING (source) ORDER BY doc_id""".stripMargin
+
+  def qDual(c: CascadeConfig): String =
+    s"""WITH f AS (SELECT doc_id, source,
+       |  CAST($nw > ${c.dualEventWords} AS INT) AS ev FROM documents),
+       |st AS (SELECT source, CAST(SUM(CAST(ev AS BIGINT)) AS BIGINT) AS evs, COUNT(*) AS evn
+       |       FROM f GROUP BY source),
+       |j AS (SELECT f.doc_id, f.ev, st.evs, st.evn,
+       |  CAST(st.evs - CAST(f.ev AS BIGINT) AS DOUBLE) / CAST(st.evn - 1 AS DOUBLE) AS frac
+       |  FROM f LEFT JOIN st USING (source))
+       |SELECT doc_id, CASE WHEN evn - 1 >= ${c.dualMinN} AND
+       |  ((frac >= ${c.dualHiFrac} AND ev = 0) OR (frac <= ${c.dualLoFrac} AND ev = 1))
+       |  THEN 3 END AS dqc
+       |FROM j ORDER BY doc_id""".stripMargin
+
+  def qIsolation(c: CascadeConfig): String =
+    s"""WITH st AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang)
+       |SELECT doc_id, CASE WHEN COALESCE(n, 0) - 1 < ${c.isolationMinN} THEN 800 END AS dqc
+       |FROM documents LEFT JOIN st USING (source, lang) ORDER BY doc_id""".stripMargin
+
+  /** Full cascade (SQL-expressible subset) in reference order with sticky
+    * flags, keep-list asymmetry, and alive-set recomputation between the
+    * neighborhood stages — mirrors Cascade.run with the same config.
+    */
+  def qCascade(c: CascadeConfig): String = {
+    val blackCase = c.blacklistDomains.toSeq.sorted
+      .map(d => s"WHEN source = '$d' THEN 999").mkString(" ")
+    val keepCase = c.keepDomains.toSeq.sorted
+      .map(d => s"WHEN source = '$d' THEN 990").mkString(" ")
+    val alive1 = "(d1 IS NULL OR d1 = 990)"
+    val alive2 = "(d2 IS NULL OR d2 = 990)"
+    val alive3 = "(d3 IS NULL OR d3 = 990)"
+    s"""WITH base AS (
+       |  SELECT doc_id, source, lang,
+       |    $nw AS nw,
+       |    CAST($nw > ${c.dualEventWords} AS INT) AS ev,
+       |    ${metaFail(c)} AS f_meta,
+       |    ${langMismatchFail(c)} AS f_lm,
+       |    ${plausFail(c)} AS f_plaus,
+       |    ${langBoundsFail(c)} AS f_lb,
+       |    CASE $blackCase $keepCase END AS d0
+       |  FROM documents),
+       |s1 AS (
+       |  SELECT doc_id, source, lang, nw, ev, CASE
+       |    WHEN d0 = 999 THEN 999
+       |    WHEN (d0 IS NULL OR d0 = 990) AND f_meta THEN 901
+       |    WHEN d0 IS NULL AND f_lm THEN 902
+       |    WHEN (d0 IS NULL OR d0 = 990) AND f_plaus THEN 501
+       |    WHEN d0 IS NULL AND f_lb THEN 502
+       |    ELSE d0 END AS d1
+       |  FROM base),
+       |t2 AS (SELECT source,
+       |    CAST(SUM(CASE WHEN $alive1 THEN CAST(ev AS BIGINT) END) AS BIGINT) AS evs,
+       |    COUNT(CASE WHEN $alive1 THEN 1 END) AS evn
+       |  FROM s1 GROUP BY source),
+       |s2a AS (SELECT s1.doc_id, s1.source, s1.lang, s1.nw, s1.ev, s1.d1, t2.evs, t2.evn,
+       |    CAST(t2.evs - CAST(s1.ev AS BIGINT) AS DOUBLE) / CAST(t2.evn - 1 AS DOUBLE) AS frac
+       |  FROM s1 LEFT JOIN t2 USING (source)),
+       |s2 AS (SELECT doc_id, source, lang, nw, CASE
+       |    WHEN d1 IS NULL AND evn - 1 >= ${c.dualMinN} AND
+       |      ((frac >= ${c.dualHiFrac} AND ev = 0) OR (frac <= ${c.dualLoFrac} AND ev = 1))
+       |    THEN 3 ELSE d1 END AS d2
+       |  FROM s2a),
+       |t3 AS (SELECT source,
+       |    CAST(SUM(CASE WHEN $alive2 THEN CAST(nw AS BIGINT) END) AS BIGINT) AS s,
+       |    CAST(SUM(CASE WHEN $alive2 THEN CAST(nw AS BIGINT) * CAST(nw AS BIGINT) END) AS BIGINT) AS q,
+       |    COUNT(CASE WHEN $alive2 THEN 1 END) AS n
+       |  FROM s2 GROUP BY source),
+       |s3a AS (SELECT s2.doc_id, s2.source, s2.lang, s2.nw, s2.d2, t3.n, $buddyMean AS mean, t3.q, t3.s
+       |  FROM s2 LEFT JOIN t3 USING (source)),
+       |s3b AS (SELECT doc_id, source, lang, nw, d2, n, mean, sqrt(greatest($buddyVr, 0.0)) AS sd
+       |  FROM s3a),
+       |s3 AS (SELECT doc_id, source, lang, nw, CASE
+       |    WHEN d2 IS NULL AND n - 1 >= ${c.buddyMinN} AND sd > 0.0 AND
+       |      abs((CAST(nw AS DOUBLE) - mean) / sd) > ${c.buddyZ}
+       |    THEN 10 ELSE d2 END AS d3
+       |  FROM s3b),
+       |t4 AS (SELECT source,
+       |    quantile_cont(CASE WHEN $alive3 THEN CAST(nw AS DOUBLE) END, 0.5) AS med,
+       |    COUNT(CASE WHEN $alive3 THEN 1 END) AS n
+       |  FROM s3 GROUP BY source),
+       |s4a AS (SELECT s3.doc_id, s3.source, s3.lang, s3.nw, s3.d3, t4.n, t4.med,
+       |    abs(CAST(s3.nw AS DOUBLE) - t4.med) AS dev
+       |  FROM s3 LEFT JOIN t4 USING (source)),
+       |t4b AS (SELECT source, quantile_cont(CASE WHEN (d3 IS NULL OR d3 = 990) THEN dev END, 0.5) AS mad
+       |  FROM s4a GROUP BY source),
+       |s4 AS (SELECT s4a.doc_id, s4a.source, s4a.lang, CASE
+       |    WHEN d3 IS NULL AND n >= ${c.sctMinN} AND mad > 0.0 AND
+       |      dev / (1.4826 * mad) > ${c.sctZ}
+       |    THEN 1 ELSE d3 END AS d4
+       |  FROM s4a LEFT JOIN t4b USING (source)),
+       |t5 AS (SELECT source, lang, COUNT(CASE WHEN (d4 IS NULL OR d4 = 990) THEN 1 END) AS n
+       |  FROM s4 GROUP BY source, lang),
+       |s5 AS (SELECT s4.doc_id, CASE
+       |    WHEN d4 IS NULL AND COALESCE(t5.n, 0) - 1 < ${c.isolationMinN} THEN 800
+       |    ELSE d4 END AS d5
+       |  FROM s4 LEFT JOIN t5 USING (source, lang))
+       |SELECT doc_id, COALESCE(d5, 0) AS dqc,
+       |  (COALESCE(d5, 0) = 0 OR COALESCE(d5, 0) = 990) AS keep
+       |FROM s5 ORDER BY doc_id""".stripMargin
+  }
+}

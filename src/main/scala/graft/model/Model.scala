@@ -1,0 +1,142 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Sticky quality-control flag codes.
+  *
+  * The reference (metno/TITAN) runs a strictly ordered cascade of checks over
+  * one snapshot table; each check stamps its own integer code on rows that
+  * fail and later checks skip already-flagged rows, so the flag identifies the
+  * *first* check that rejected the row (see /root/reference/titan.r:103-263
+  * and functions/misc/final_decision.r:9). We keep the reference's code
+  * numbering where a webtext analog exists so the cascade order
+  * (nometa → … → isolation → good) stays recognizable.
+  */
+object FlagCodes {
+  val Good        = 0   // survived every check (final_decision.r:9)
+  val Sct         = 1   // robust spatial-consistency outlier (checks/sct_resistant.r)
+  val SctFg       = 2   // outlier vs broadcast model ("first guess", checks/sct_fg_resistant.r)
+  val SctDual     = 3   // binary-event consistency (checks/sct_dual_r.r)
+  val SctFgDual   = 4   // binary-event vs model pseudo-docs (checks/sct_fg_dual_r.r)
+  val Buddy       = 10  // neighborhood aggregate deviation (checks/buddy.r)
+  val Fgt         = 11  // deviation vs model mean/sd with ensemble vote (checks/fgt.r)
+  val CrossField  = 301 // cross-column consistency (checks/ccrrt.r)
+  val Plausibility= 501 // hard value bounds (checks/plausibility_test.r)
+  val LangBounds  = 502 // lang-conditioned bounds (checks/climatological_check.r: month ↔ lang)
+  val Isolation   = 800 // too few neighbors to judge (checks/isolation.r)
+  val Metadata    = 901 // missing/malformed required fields (checks/metadata_check.r)
+  val LangMismatch= 902 // declared vs detected language disagree (checks/check_z_against_dem.r analog)
+  val Keep        = 990 // keep-listed: force-keep, usable as reference (read_data_to_check.r:108-119)
+  val Blacklist   = 999 // block-listed: force-drop (read_data_to_check.r:95-106)
+
+  /** Codes counted as "kept" in the final decision. */
+  def isKeep(code: Int): Boolean = code == Good || code == Keep
+}
+
+/** One web page — the engine's single relation, per BASELINE.json input_hint:
+  * Iceberg/parquet table (url, warc_ts, html, text, lang). The TITAN analog
+  * is the observation row (lat, lon, elev, value, prid)
+  * (/root/reference/functions/IO/read_data_to_check.r:151-155); `domain`
+  * plays the role of the provider id `prid`.
+  */
+final case class Page(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+/** Page plus the working columns the cascade maintains. */
+final case class LabeledPage(
+    url: String,
+    warc_ts: Timestamp,
+    text: String,
+    lang: String,
+    domain: String,
+    dqc: Option[Int],
+    keep: Boolean)
+
+/** Ground-truth companion row for fixtures (reference: the planted `ge`
+  * column carried as a passthrough, test/ini/ta_test_titan.ini:18).
+  * ge = 1 iff the row carries a planted defect; geCheck = the code of the
+  * check that should fire first; expectedText = byte-exact expected
+  * extracted/scrubbed text (input_hint invariant).
+  */
+final case class PageTruth(url: String, ge: Int, geCheck: Int, expectedText: String)
+
+/** Closed numeric interval. */
+final case class Bounds(min: Double, max: Double) {
+  def contains(v: Double): Boolean = v >= min && v <= max
+}
+
+/** Per-check and global configuration.
+  *
+  * TITAN parameterizes every check per (test j, provider f) with recycle
+  * rules (/root/reference/functions/checks/buddy.r:30-52) merged from a
+  * ~200-flag CLI (functions/IO/argparser.r:85-110). We keep a typed config
+  * tree instead; per-provider overrides are maps keyed by domain.
+  *
+  * doit semantics (argparsers/argparser_doit.r:4): 0 = provider excluded
+  * entirely, 1 = rows used as references and testable, 2 = used as
+  * references but never flagged.
+  */
+final case class CascadeConfig(
+    // metadata check (901)
+    minChars: Int = 50,
+    maxChars: Int = 1000000,
+    // plausibility (501) — C4/Gopher-style hard bounds
+    minWords: Int = 10,
+    maxWords: Int = 100000,
+    meanWordLen: Bounds = Bounds(2.0, 12.0),
+    maxSymbolRatio: Double = 0.30,
+    // lang-conditioned bounds (502) — stopword-ratio minimum per language
+    langStopMin: Map[String, Double] = Map("en" -> 0.05),
+    // lang mismatch (902)
+    langMismatchMinConf: Double = 0.10,
+    // buddy (10)
+    buddyMinN: Int = 5,
+    buddyZ: Double = 2.5,
+    buddyMaxIter: Int = 1,
+    buddyBreakAt: Long = 0L,
+    // sct (1) — robust z via median/MAD
+    sctMinN: Int = 5,
+    sctZ: Double = 3.0,
+    sctMaxIter: Int = 1,
+    sctBreakAt: Long = 0L,
+    // sct_dual (3) — binary event consistency
+    dualMinN: Int = 5,
+    dualEventWords: Int = 60,
+    dualLoFrac: Double = 0.2,
+    dualHiFrac: Double = 0.8,
+    // fgt (11) — deviation vs broadcast model mean/sd, ensemble majority
+    fgtZ: Double = 4.0,
+    // perplexity outlier (2)
+    maxLogPpl: Double = 8.0,
+    // isolation (800) — neighborhood key may be finer than the buddy key
+    // (a doc needs same-language buddies on its host to be checkable)
+    isolationMinN: Int = 3,
+    isolationKeys: Seq[String] = Seq("domain", "lang"),
+    // ingest lists
+    blacklistDomains: Set[String] = Set.empty,
+    keepDomains: Set[String] = Set.empty,
+    doit: Map[String, Int] = Map.empty,          // default 1
+    priorities: Map[String, Int] = Map.empty,    // default 0; higher = checked first
+    // skew handling: #salt buckets for two-level aggregation of group stats
+    saltBuckets: Int = 8,
+    // which checks run (TITAN: each check behind a CLI switch, titan.r:140-256)
+    enabled: Set[Int] = CascadeConfig.allChecks)
+
+object CascadeConfig {
+  import FlagCodes._
+  val allChecks: Set[Int] = Set(
+    Metadata, Plausibility, LangBounds, LangMismatch, CrossField,
+    SctFgDual, SctDual, Fgt, Buddy, SctFg, Sct, Isolation)
+
+  /** Checks expressible 1:1 in portable SQL (used by the DuckDB oracle
+    * queries); model-based checks (902-by-model, 2, 11) are verified by
+    * ScalaTest F1 gates instead.
+    */
+  val sqlCheckable: Set[Int] = Set(
+    Metadata, Plausibility, LangBounds, LangMismatch,
+    SctDual, Buddy, Sct, Isolation)
+}

@@ -1,0 +1,103 @@
+package graft.stages
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFeatures
+import graft.model.{CascadeConfig, FlagCodes}
+
+/** Ingest-time normalization: canonical columns, derived features, list
+  * stamps. The reference does all of this in read_data_to_check.r —
+  * per-provider column remap + rescale (:50-84), provider id (:91),
+  * blacklist/keeplist stamps (:95-119), duplicate drop (:122-143), flag
+  * vector allocation (:160). The Spark version is one `select` over the
+  * scan plus null-guarded `when`s — all codegen, no shuffle.
+  */
+object Ingest {
+  import Cols._
+
+  /** English stopwords used by the stopword-ratio feature. Fixed, small,
+    * inlined into the generated code (broadcast-equivalent).
+    */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Registered-domain from url — the "provider" key (TITAN prid,
+    * read_data_to_check.r:91). Pure string ops, portable to the oracle.
+    */
+  def domainOf(url: Column): Column =
+    regexp_replace(url, "^[a-z]+://", "")
+      .pipe(h => substring_index(h, "/", 1))
+
+  private implicit class Piper[A](private val a: A) extends AnyVal {
+    def pipe[B](f: A => B): B = f(a)
+  }
+
+  /** Ensure canonical working columns exist; compute the feature pass once
+    * (spatconv analog, misc/spatconv.r:10-17). Missing html/lang columns are
+    * synthesized as nulls; `domain` is derived from url when absent.
+    */
+  def normalize(pages: DataFrame, cfg: CascadeConfig): DataFrame = {
+    var df = pages
+    if (!df.columns.contains(Html))   df = df.withColumn(Html, lit(null).cast("binary"))
+    if (!df.columns.contains(Lang))   df = df.withColumn(Lang, lit(null).cast("string"))
+    if (!df.columns.contains(Domain)) df = df.withColumn(Domain, domainOf(col(Url)))
+    if (!df.columns.contains(Dqc))    df = df.withColumn(Dqc, lit(null).cast("int"))
+
+    // doit / prio from per-provider config (argparser_doit.r:4); rows from
+    // doit == 0 providers are excluded entirely (buddy.r:118-121).
+    def lookup(m: Map[String, Int], default: Int): Column =
+      m.foldLeft(lit(default)) { case (acc, (d, v)) =>
+        when(col(Domain) === d, lit(v)).otherwise(acc)
+      }
+    df = df
+      .withColumn(Doit, lookup(cfg.doit, 1))
+      .withColumn(Prio, lookup(cfg.priorities, 0))
+      .filter(col(Doit) =!= 0)
+
+    features(df)
+  }
+
+  /** The one-time derived-feature projection every check reuses. */
+  def features(df: DataFrame): DataFrame = {
+    val t = col(Text)
+    df
+      .withColumn(NChars, TextFeatures.nChars(t))
+      .withColumn(NWords, TextFeatures.nWords(t))
+      .withColumn(MeanWordLen, TextFeatures.meanWordLen(t))
+      .withColumn(SymbolRatio, TextFeatures.symbolRatio(t))
+      .withColumn(StopRatio, TextFeatures.stopwordRatio(t, EnStopwords))
+      .withColumn(DistinctWordRatio, TextFeatures.distinctWordRatio(t))
+  }
+
+  /** Blacklist (999) then keeplist (990) stamps — blacklist wins, keep only
+    * stamps still-null rows, exactly as the reference stamps them in read
+    * order (read_data_to_check.r:95-119). Small lists are inlined literals;
+    * file-backed lists become broadcast left-semi joins (same semantics).
+    */
+  def stampLists(df: DataFrame, cfg: CascadeConfig): DataFrame = {
+    val black =
+      if (cfg.blacklistDomains.isEmpty) lit(false)
+      else col(Domain).isin(cfg.blacklistDomains.toSeq: _*)
+    val keep =
+      if (cfg.keepDomains.isEmpty) lit(false)
+      else col(Domain).isin(cfg.keepDomains.toSeq: _*)
+    df.withColumn(Dqc,
+      when(col(Dqc).isNull && black, lit(FlagCodes.Blacklist))
+        .when(col(Dqc).isNull && keep, lit(FlagCodes.Keep))
+        .otherwise(col(Dqc)))
+  }
+
+  /** Large-list variant: broadcast anti/semi join against a DataFrame of
+    * (domain) or (url) keys — the scan-time form the reference applies via
+    * sourceId files (read_data_to_check.r:212-222).
+    */
+  def stampListsJoin(df: DataFrame, blacklist: DataFrame, keyCol: String): DataFrame = {
+    val marked = df.join(
+      broadcast(blacklist.select(col(keyCol)).distinct()
+        .withColumn("__black", lit(1))),
+      Seq(keyCol), "left")
+    marked.withColumn(Dqc,
+        when(col(Dqc).isNull && col("__black") === 1, lit(FlagCodes.Blacklist))
+          .otherwise(col(Dqc)))
+      .drop("__black")
+  }
+}
