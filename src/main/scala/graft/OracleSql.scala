@@ -39,7 +39,8 @@ object OracleSql {
 
   def plausFail(c: CascadeConfig): String =
     s"($nw < ${c.minWords} OR $nw > ${c.maxWords} OR $mwl < ${c.meanWordLen.min} OR " +
-      s"$mwl > ${c.meanWordLen.max} OR $symr > ${c.maxSymbolRatio})"
+      s"$mwl > ${c.meanWordLen.max} OR $symr > ${c.maxSymbolRatio} OR " +
+      s"$dwr < ${c.minDistinctWordRatio})"
 
   def langBoundsFail(c: CascadeConfig): String = {
     val thresh = c.langStopMin.foldLeft("CAST('-infinity' AS DOUBLE)") {
@@ -112,6 +113,105 @@ object OracleSql {
     s"""WITH st AS (SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang)
        |SELECT doc_id, CASE WHEN COALESCE(n, 0) - 1 < ${c.isolationMinN} THEN 800 END AS dqc
        |FROM documents LEFT JOIN st USING (source, lang) ORDER BY doc_id""".stripMargin
+
+  // ---- dedup / similarity operator oracles ----
+
+  /** Distinct word-n-gram shingle CTE over documents (mirrors Dedup.shingles). */
+  def shinglesCte(n: Int): String =
+    s"""sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(string_split(text, ' ')) >= $n
+       |         THEN list_transform(range(0, len(string_split(text, ' ')) - $n + 1),
+       |              i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + $n), ' '))
+       |         ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+       |  FROM documents)""".stripMargin
+
+  def qDedupJaccard(n: Int, threshold: Double): String = {
+    val jac = "CAST(inter AS DOUBLE) / CAST(ca.card + cb.card - inter AS DOUBLE)"
+    s"""WITH ${shinglesCte(n)},
+       |cards AS (SELECT doc_id, COUNT(*) AS card FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+       |          FROM sh a JOIN sh b USING (shingle)
+       |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b, inter, ca.card AS card_a, cb.card AS card_b, $jac AS jaccard
+       |FROM inter JOIN cards ca ON ca.doc_id = id_a JOIN cards cb ON cb.doc_id = id_b
+       |WHERE $jac >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  def qDedupMinhash(n: Int, bands: Int): String = {
+    val sigCols = (0 until bands)
+      .map(i => s"min(md5('$i#' || shingle)) AS mh$i").mkString(", ")
+    val bandSelects = (0 until bands).map(i =>
+      s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i WHERE a.doc_id < b.doc_id"
+    ).mkString(" UNION ALL ")
+    s"""WITH ${shinglesCte(n)},
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id)
+       |SELECT DISTINCT id_a, id_b FROM ($bandSelects) ORDER BY id_a, id_b""".stripMargin
+  }
+
+  def qSimhash16: String = {
+    val hexCase = (pos: Int) => "0123456789abcdef".zipWithIndex
+      .map { case (c, v) => s"WHEN '$c' THEN $v" }
+      .mkString(s"(CASE substring(h, ${pos + 1}, 1) ", " ", " ELSE 0 END)")
+    val nibs = (0 until 4).map(j => s"${hexCase(j)} AS nib$j").mkString(", ")
+    val sums = (0 until 16).map { b =>
+      val div = math.pow(2, b % 4).toInt
+      s"CAST(SUM((CAST(floor(nib${b / 4} / $div) AS INT) % 2) * 2 - 1) AS BIGINT) AS s$b"
+    }.mkString(", ")
+    val hash = (0 until 16)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, md5(w) AS h FROM
+       |  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0),
+       |nib AS (SELECT doc_id, $nibs FROM tok),
+       |s AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id)
+       |SELECT doc_id, ($hash) AS simhash FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Sequential-fold dot product (mirrors Similarity.dot exactly). */
+  def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), " +
+      s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  def sqlCosine(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
+  def qAnnTopK(queryIds: Seq[Long], k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |           WHERE vec_id IN (${queryIds.mkString(", ")})),
+       |s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+       |        ${sqlCosine("q.qv", "e.embedding")} AS cos
+       |      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+       |      FROM s)
+       |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  def qAnnPairs(nPlanes: Int, threshold: Double): String = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = sqlDot("embedding",
+        s"list_transform(range(0, len(embedding)), j -> CAST(((${p * 31}) + j * 17) % 7 - 3 AS DOUBLE))")
+      s"CASE WHEN $proj >= 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, embedding, ($bits) AS bucket FROM embeddings),
+       |p AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b, a.bucket,
+       |        ${sqlCosine("a.embedding", "b2.embedding")} AS cos
+       |      FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
+       |SELECT id_a, id_b, bucket, cos FROM p WHERE cos >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** PII scrub parity (mirrors Scrubber.scrub + the synthetic PII suffix). */
+  def qScrub: String =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |    text || ' user' || doc_id || '@mail.example 555-123-4567 123-45-6789',
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+      |    '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS scrubbed
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Full cascade (SQL-expressible subset) in reference order with sticky
     * flags, keep-list asymmetry, and alive-set recomputation between the

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.cascade.Cascade
+import graft.io.PagesGen
+import graft.stages.Models
+
+/** Two-cluster-size scaling evidence (BASELINE.json north_rule): run the
+  * identical end-to-end filter job on the identical input at N and 4N
+  * parallelism (local[8] vs local[32] — the sandbox proxy for N vs 4N
+  * executors per the driver instruction) and report throughput at both plus
+  * scaling efficiency = (t_N / t_4N) / 4. Target ≥ 0.8.
+  *
+  * The input corpus is written to parquet once, up front, so both sessions
+  * scan byte-identical files; each session does one warm-up pass (JIT) and
+  * then `reps` timed passes, keeping the best (steady-state throughput).
+  *
+  * Usage: runMain graft.ScalingBench [nDocs] [outJson]
+  */
+object ScalingBench {
+
+  def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def cascadeJob(spark: SparkSession, path: String, models: Models): Long = {
+    val pages = spark.read.parquet(path)
+    val labeled = Cascade.run(pages, PagesGen.matchingConfig, Some(models), PagesGen.exemplarTexts())
+    // count(keep) forces the full pipeline; no result materialization cost
+    labeled.filter(org.apache.spark.sql.functions.col("keep")).count()
+  }
+
+  def timeBest(reps: Int)(f: => Unit): Double = {
+    var best = Double.MaxValue
+    for (_ <- 1 to reps) {
+      val t0 = System.nanoTime()
+      f
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    best
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toLong else 200000L
+    val outJson = if (args.length > 1) Some(args(1)) else None
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+
+    // materialize the identical input once (32-way for generation speed)
+    val gen = session(32)
+    val dir = Files.createTempDirectory("scalingbench").toString
+    val corpusPath = s"$dir/pages.parquet"
+    PagesGen.generate(gen, nDocs).write.parquet(corpusPath)
+    val models = Models.train(gen,
+      PagesGen.generateWithClass(gen, 10000L)
+        .filter(org.apache.spark.sql.functions.col("clazz") === "clean")
+        .select("text", "lang"))
+    gen.stop()
+
+    val results = Seq(8, 32).map { cores =>
+      val s = session(cores)
+      cascadeJob(s, corpusPath, models) // warm-up (JIT, parquet footer cache)
+      val best = timeBest(reps)(cascadeJob(s, corpusPath, models))
+      s.stop()
+      cores -> best
+    }.toMap
+
+    val t8 = results(8); val t32 = results(32)
+    val eff = (t8 / t32) / 4.0
+    val json =
+      f"""{"metric":"scaling_efficiency","value":$eff%.4f,"unit":"ratio","n_docs":$nDocs,""" +
+        f""""t_local8_sec":$t8%.3f,"t_local32_sec":$t32%.3f,""" +
+        f""""docs_per_sec_local8":${nDocs / t8}%.1f,"docs_per_sec_local32":${nDocs / t32}%.1f,""" +
+        f""""speedup_8_to_32":${t8 / t32}%.3f}"""
+    println(json)
+    outJson.foreach(p => Files.write(java.nio.file.Paths.get(p), json.getBytes("UTF-8")))
+  }
+}

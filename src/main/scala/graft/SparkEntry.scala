@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.model._
 import graft.stages._
 import graft.cascade.Cascade
-import graft.io.Docs
+import graft.io.{Docs, PagesGen}
 import graft.functions.TextFeatures
+import graft.ml.Scrubber
+import graft.operators.{Dedup, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -88,7 +90,46 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
         .orderBy("fp")),
 
-    // ---- relational aggregates (SURVEY.md §2.5) ----
+    // ---- dedup operators (near-dup family) ----
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(Docs.read(s, dir), "text", "doc_id",
+          n = 3, threshold = 0.2, maxShingleDf = 1000000)
+        .orderBy("id_a", "id_b")),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(Docs.read(s, dir), "text", "doc_id",
+          n = 3, bands = 2, rowsPerBand = 1)
+        .orderBy("id_a", "id_b")),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash16(Docs.read(s, dir), "text", "doc_id").orderBy("doc_id")),
+
+    // ---- similarity search over embeddings ----
+    "q_ann_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+          "embedding", "vec_id", Seq(0L, 1L, 2L, 3L, 4L), k = 5)
+        .orderBy("query_id", "rank")),
+    "q_ann_pairs" -> ((s, dir) =>
+      Similarity.annPairs(s.read.parquet(s"$dir/embeddings.parquet"),
+          "embedding", "vec_id", nPlanes = 8, threshold = 0.25)
+        .orderBy("id_a", "id_b")),
+
+    // ---- PII scrub (windcorr analog; byte-exact regex parity) ----
+    "q_scrub" -> ((s, dir) =>
+      Docs.read(s, dir).select(
+        col("doc_id"),
+        Scrubber.scrub(concat(col("text"), lit(" user"), col("doc_id"),
+          lit("@mail.example 555-123-4567 123-45-6789"))).as("scrubbed"))
+        .orderBy("doc_id")),
+
+    // ---- token counting (whitespace + BPE-ish regex) ----
+    "q_text_tokens" -> ((s, dir) =>
+      Docs.read(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("int").as("n_tokens_regex"),
+        TextFeatures.nWords(col("text")).as("n_tokens_ws"))
+        .orderBy("doc_id")),
+
+    // ---- relational operators (SURVEY.md §2.5) ----
     "q_agg_lineitem" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -98,7 +139,67 @@ object SparkEntry {
           sum(round(col("l_extendedprice") * lit(100)).cast("bigint")).as("price_cents"),
           sum(round((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * lit(100))
             .cast("bigint")).as("revenue_cents"))
-        .orderBy("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q_window_topk" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+    "q_join_agg" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * lit(100)).cast("bigint")).as("total_cents"))
+        .orderBy("n_name")
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      // customers with no large order: anti join against a filtered build side
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_totalprice") > 300000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey")).orderBy("c_custkey")
+    }),
+    "q_union_distinct" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_nationkey").as("k"))
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_nationkey").as("k"))
+      c.union(sup).distinct().orderBy("k")
+    }),
+    "q_events_daily" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * lit(100)).cast("bigint")).as("value_cents"))
+        .orderBy("event_type", "day")),
+
+    // ---- model-based operators (no SQL oracle: rows-only gate; verified
+    // by the FixtureF1Spec F1 gates instead) ----
+    "q_langid" -> ((s, dir) => {
+      val det = udf((t: String) => graft.ml.LangId.default.detect(t))
+      Docs.read(s, dir).select(col("doc_id"), det(col("text")).as("det"))
+        .select(col("doc_id"), col("det._1").as("det_lang"), col("det._2").as("det_conf"))
+        .orderBy("doc_id")
+    }),
+    "q_cascade_full" -> ((s, dir) => {
+      val pages = Docs.pages(s, dir)
+      val models = Models.train(s, Docs.read(s, dir).select("text", "lang"))
+      Cascade.run(pages, docCfg.copy(enabled = CascadeConfig.allChecks),
+          Some(models), PagesGen.exemplarTexts())
+        .select(col("doc_id"), col(Cols.Dqc).cast("int").as("dqc"), col(Cols.KeepCol).as("keep"),
+          col(Cols.ScrubbedText))
+        .orderBy("doc_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -127,6 +228,45 @@ object SparkEntry {
         |CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
         |CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
-        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_dedup_jaccard" -> OracleSql.qDedupJaccard(3, 0.2),
+    "q_dedup_minhash" -> OracleSql.qDedupMinhash(3, 2),
+    "q_dedup_simhash" -> OracleSql.qSimhash16,
+    "q_ann_topk"      -> OracleSql.qAnnTopK(Seq(0L, 1L, 2L, 3L, 4L), 5),
+    "q_ann_pairs"     -> OracleSql.qAnnPairs(8, 0.25),
+    "q_scrub"         -> OracleSql.qScrub,
+    "q_text_tokens" ->
+      s"""SELECT doc_id,
+         |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS n_tokens_regex,
+         |${OracleSql.nw} AS n_tokens_ws
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_join_agg" ->
+      """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT DISTINCT k FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  UNION ALL SELECT s_nationkey AS k FROM supplier)
+        |ORDER BY k""".stripMargin,
+    "q_events_daily" ->
+      """SELECT event_type, date_trunc('day', ts) AS day,
+        |CAST(COUNT(*) AS BIGINT) AS n_events,
+        |CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
   )
 }

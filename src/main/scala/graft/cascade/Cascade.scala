@@ -43,30 +43,65 @@ object Cascade {
     cur
   }
 
-  /** The ordered stage list for a config (model-based stages are appended
-    * by ModelCascade when models are supplied).
+  /** The ordered stage list for a config. Order mirrors titan.r:115-257:
+    * meta(901) → dem-fill+meta2 → windcorr/scrub → ccrrt(301) → dem(902) →
+    * plausibility(501) → clim(502) → sct_fg_dual(4) → sct_dual(3) →
+    * fgt(11) → buddy(10) → sct_fg(2) → sct(1) → isolation(800).
+    * Model-based variants replace the heuristic ones when `models` is given.
     */
-  def stages(cfg: CascadeConfig): Seq[(Int, DataFrame => DataFrame)] = {
+  def stages(cfg: CascadeConfig,
+             models: Option[Models] = None,
+             pseudoTexts: Seq[String] = Nil): Seq[(Int, DataFrame => DataFrame)] = {
     import FlagCodes._
-    val all = Seq[(Int, DataFrame => DataFrame)](
-      Metadata     -> (d => RowChecks.metadata.transform(d, cfg)),
-      LangMismatch -> (d => RowChecks.langMismatchHeuristic.transform(d, cfg)),
-      CrossField   -> (d => RowChecks.crossField.transform(d, cfg)),
-      Plausibility -> (d => RowChecks.plausibility.transform(d, cfg)),
-      LangBounds   -> (d => RowChecks.langBounds.transform(d, cfg)),
-      SctDual      -> (d => Neighborhood.dualOnce(d, cfg)),
-      Buddy        -> (d => iterate(d, cfg.buddyMaxIter, cfg.buddyBreakAt, Buddy)(
-                         Neighborhood.buddyOnce(_, cfg))),
-      Sct          -> (d => iterate(d, cfg.sctMaxIter, cfg.sctBreakAt, Sct)(
-                         Neighborhood.sctOnce(_, cfg))),
-      Isolation    -> (d => Neighborhood.isolationOnce(d, cfg)))
-    all.filter { case (code, _) => cfg.enabled.contains(code) }
+    val b = Seq.newBuilder[(Int, DataFrame => DataFrame)]
+    if (cfg.enabled.contains(Metadata)) {
+      b += Metadata -> (d => RowChecks.metadata.transform(d, cfg))
+      b += Metadata -> (d => ModelChecks.backfillAndRecheck(d, cfg))
+    }
+    // scrub is non-flagging; code 0 marks it as a transform, always on
+    b += Good -> (d => ModelChecks.scrubStage(d))
+    models.foreach(m => b += Good -> (d => ModelChecks.withModelFeatures(d, m)))
+    if (cfg.enabled.contains(CrossField))
+      b += CrossField -> (d => RowChecks.crossField.transform(d, cfg))
+    if (cfg.enabled.contains(LangMismatch))
+      b += LangMismatch -> (d => models match {
+        case Some(_) => ModelChecks.langMismatch(d, cfg)
+        case None    => RowChecks.langMismatchHeuristic.transform(d, cfg)
+      })
+    if (cfg.enabled.contains(Plausibility))
+      b += Plausibility -> (d => RowChecks.plausibility.transform(d, cfg))
+    if (cfg.enabled.contains(LangBounds))
+      b += LangBounds -> (d => RowChecks.langBounds.transform(d, cfg))
+    if (cfg.enabled.contains(SctFgDual) && pseudoTexts.nonEmpty)
+      b += SctFgDual -> (d => ModelChecks.sctFgDual(d, cfg, pseudoTexts))
+    if (cfg.enabled.contains(SctDual))
+      b += SctDual -> (d => Neighborhood.dualOnce(d, cfg))
+    models.foreach { m =>
+      if (cfg.enabled.contains(Fgt))
+        b += Fgt -> (d => ModelChecks.fgt(d, cfg, m))
+    }
+    if (cfg.enabled.contains(Buddy))
+      b += Buddy -> (d => iterate(d, cfg.buddyMaxIter, cfg.buddyBreakAt, Buddy)(
+        Neighborhood.buddyOnce(_, cfg)))
+    models.foreach { _ =>
+      if (cfg.enabled.contains(SctFg))
+        b += SctFg -> (d => ModelChecks.sctFg(d, cfg))
+    }
+    if (cfg.enabled.contains(Sct))
+      b += Sct -> (d => iterate(d, cfg.sctMaxIter, cfg.sctBreakAt, Sct)(
+        Neighborhood.sctOnce(_, cfg)))
+    if (cfg.enabled.contains(Isolation))
+      b += Isolation -> (d => Neighborhood.isolationOnce(d, cfg))
+    b.result()
   }
 
   /** Normalize + stamp lists + fold the enabled checks + final decision. */
-  def run(pages: DataFrame, cfg: CascadeConfig): DataFrame = {
+  def run(pages: DataFrame, cfg: CascadeConfig,
+          models: Option[Models] = None,
+          pseudoTexts: Seq[String] = Nil): DataFrame = {
     val prepared = Ingest.stampLists(Ingest.normalize(pages, cfg), cfg)
-    val checked = stages(cfg).foldLeft(prepared) { case (d, (_, f)) => f(d) }
+    val checked = stages(cfg, models, pseudoTexts)
+      .foldLeft(prepared) { case (d, (_, f)) => f(d) }
     finalDecision(checked)
   }
 

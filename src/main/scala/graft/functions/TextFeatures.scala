@@ -91,6 +91,9 @@ object TextFeatures {
     when(nWords(t) > 0,
       size(array_distinct(split(t, " "))).cast("double") / nWords(t).cast("double"))
 
+  /** Fraction of characters that are ASCII digits. */
+  def digitRatio(t: Column): Column = safeDiv(nDigits(t), nChars(t))
+
   /** Canonical whitespace-normalized form used for fingerprinting. */
   def normalized(t: Column): Column =
     lower(trim(regexp_replace(t, "[ \\t\\n\\r]+", " ")))

@@ -1,0 +1,101 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Thin snapshot-table seam emulating Iceberg commit semantics on plain
+  * parquet — no Iceberg runtime exists in this sandbox (verified; SURVEY.md
+  * §7), so the engine programs against this trait-shaped API and an Iceberg
+  * implementation is a drop-in where the jars exist.
+  *
+  * Layout: `<root>/<name>/data/s<id>/part-*.parquet` + `<root>/<name>/
+  * manifest.json`. A snapshot becomes visible only when the manifest is
+  * atomically renamed into place (the Iceberg commit), so readers never see
+  * partial writes and a killed job resumes from the last committed
+  * snapshot — the north_rule "resumable from checkpoint" semantics. The
+  * reference's analog is the per-run output file boundary
+  * (/root/reference/functions/IO/write_output.r).
+  */
+object TableIO {
+
+  final case class Snapshot(id: Long, rows: Long)
+  final case class Manifest(current: Long, snapshots: Seq[Snapshot])
+
+  private def tableDir(root: String, name: String): Path = Paths.get(root, name)
+  private def manifestPath(root: String, name: String): Path =
+    tableDir(root, name).resolve("manifest.json")
+
+  /** Minimal JSON for our fixed manifest shape (no external deps). */
+  private def render(m: Manifest): String = {
+    val snaps = m.snapshots
+      .map(s => s"""{"id":${s.id},"rows":${s.rows}}""")
+      .mkString("[", ",", "]")
+    s"""{"current":${m.current},"snapshots":$snaps}"""
+  }
+
+  private val SnapRe = """\{"id":(\d+),"rows":(\d+)\}""".r
+  private val CurRe  = """"current":(\d+)""".r
+
+  def readManifest(root: String, name: String): Option[Manifest] = {
+    val p = manifestPath(root, name)
+    if (!Files.exists(p)) None
+    else {
+      val s = new String(Files.readAllBytes(p), "UTF-8")
+      val current = CurRe.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
+      val snaps = SnapRe.findAllMatchIn(s)
+        .map(m => Snapshot(m.group(1).toLong, m.group(2).toLong)).toSeq
+      Some(Manifest(current, snaps))
+    }
+  }
+
+  def currentSnapshot(root: String, name: String): Option[Long] =
+    readManifest(root, name).map(_.current).filter(_ >= 0)
+
+  /** Append a new snapshot: write data, then commit by atomic manifest
+    * rename. Returns the committed snapshot id.
+    */
+  def write(df: DataFrame, root: String, name: String): Long = {
+    val prev = readManifest(root, name).getOrElse(Manifest(-1L, Nil))
+    val id = prev.current + 1
+    val dataDir = tableDir(root, name).resolve(s"data/s$id")
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    val rows = df.sparkSession.read.parquet(dataDir.toString).count()
+    val next = Manifest(id, prev.snapshots :+ Snapshot(id, rows))
+    Files.createDirectories(manifestPath(root, name).getParent)
+    val tmp = manifestPath(root, name).resolveSibling(s"manifest.json.tmp$id")
+    Files.write(tmp, render(next).getBytes("UTF-8"))
+    Files.move(tmp, manifestPath(root, name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    id
+  }
+
+  /** Read the current (or a specific) committed snapshot. */
+  def read(spark: SparkSession, root: String, name: String,
+           snapshot: Option[Long] = None): DataFrame = {
+    val m = readManifest(root, name)
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot for $name"))
+    val id = snapshot.getOrElse(m.current)
+    require(m.snapshots.exists(_.id == id), s"snapshot $id not committed for $name")
+    spark.read.parquet(tableDir(root, name).resolve(s"data/s$id").toString)
+  }
+
+  /** Drop uncommitted data dirs (recovery after a kill mid-write). */
+  def vacuum(root: String, name: String): Unit = {
+    val m = readManifest(root, name).getOrElse(Manifest(-1L, Nil))
+    val committed = m.snapshots.map(s => s"s${s.id}").toSet
+    val dd = tableDir(root, name).resolve("data")
+    if (Files.exists(dd)) {
+      Files.list(dd).iterator().asScala
+        .filterNot(p => committed.contains(p.getFileName.toString))
+        .foreach(deleteRecursively)
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.hashing.MurmurHash3
+
+/** KenLM-style hashed n-gram language model (BASELINE.json north_star):
+  * n-gram counts stored in a Map[Long, Long] keyed by a 64-bit-ish hash of
+  * the joined tokens, broadcast to executors, consulted via a row-local
+  * stupid-backoff log-score — the webtext analog of the reference's
+  * broadcast background ("first guess") fields
+  * (/root/reference/functions/IO/read_fgs.r) that observations are scored
+  * against.
+  *
+  * Training is a genuine distributed job: explode n-grams, two-level
+  * aggregate, keep the top-K by count (bounding the broadcast at scale),
+  * collect once on the driver. `seed` varies the hash so several models
+  * form an ensemble (TITAN's ensemble members, read_fgs.r:78-110).
+  */
+final case class NgramLMModel(
+    order: Int,
+    seed: Int,
+    counts: Map[Long, Long],
+    totalUnigrams: Long,
+    vocabSize: Long) extends Serializable {
+
+  def key(tokens: Seq[String]): Long = {
+    val h1 = MurmurHash3.orderedHash(tokens, seed)
+    val h2 = MurmurHash3.orderedHash(tokens, seed ^ 0x5bd1e995)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  private def count(tokens: Seq[String]): Long = counts.getOrElse(key(tokens), 0L)
+
+  /** Stupid-backoff log10 score of one position. */
+  private def score(ctx: List[String], w: String): Double = {
+    var n = math.min(ctx.length, order - 1)
+    var alpha = 1.0
+    while (n > 0) {
+      val gram = ctx.takeRight(n) :+ w
+      val c = count(gram)
+      if (c > 0) {
+        val cc = count(ctx.takeRight(n))
+        if (cc > 0) return math.log10(alpha * c.toDouble / cc.toDouble)
+      }
+      alpha *= 0.4
+      n -= 1
+    }
+    // unigram with add-one smoothing over the hashed vocab
+    math.log10(alpha * (count(List(w)) + 1).toDouble /
+      (totalUnigrams + vocabSize + 1).toDouble)
+  }
+
+  /** Per-word log10 perplexity of a document (higher = more surprising). */
+  def logPerplexity(text: String): Double = {
+    if (text == null) return Double.MaxValue
+    val toks = NgramLM.tokenize(text)
+    if (toks.isEmpty) return Double.MaxValue
+    var sum = 0.0
+    var ctx = List.empty[String]
+    toks.foreach { w =>
+      sum += score(ctx, w)
+      ctx = (ctx :+ w).takeRight(order - 1)
+    }
+    -sum / toks.length
+  }
+}
+
+object NgramLM {
+
+  def tokenize(text: String): Array[String] =
+    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  /** Distributed training over a text column: one generator pass explodes
+    * every 1..order-gram, a hash-keyed two-level aggregation counts them
+    * (map-side combine bounds the shuffle), and only the top-K survive into
+    * the broadcastable model.
+    */
+  def train(spark: SparkSession, df: DataFrame, textCol: String,
+            order: Int = 3, seed: Int = 17, topK: Int = 200000): NgramLMModel = {
+    import spark.implicits._
+    val model0 = NgramLMModel(order, seed, Map.empty, 0L, 0L) // for key()
+    val grams = df.select(col(textCol)).as[String]
+      .filter(_ != null)
+      .flatMap { text =>
+        val toks = tokenize(text)
+        (1 to order).iterator.flatMap(n => toks.sliding(n).filter(_.length == n))
+          .map(g => (model0.key(g.toSeq), if (g.length == 1) 1 else 0))
+      }
+      .toDF("k", "isUni")
+
+    val counted = grams.groupBy("k")
+      .agg(count(lit(1)).as("c"), max("isUni").as("isUni"))
+      .orderBy(desc("c"), asc("k"))
+      .limit(topK)
+      .collect()
+
+    val counts = counted.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vocab = counted.count(_.getInt(2) == 1).toLong
+    val totalUni = df.select(col(textCol)).as[String].filter(_ != null)
+      .map(t => tokenize(t).length.toLong).reduce(_ + _)
+    NgramLMModel(order, seed, counts, totalUni, vocab.max(1L))
+  }
+
+  /** Per-language (mean, sd) of log-perplexity over a training frame — the
+    * broadcast background statistics the fgt-analog deviates against
+    * (reference: background mean and sd fed to titanlib fgt,
+    * functions/checks/fgt.r:166,267-289).
+    */
+  def pplStats(spark: SparkSession, df: DataFrame, textCol: String, langCol: String,
+               model: NgramLMModel): Map[String, (Double, Double)] = {
+    import spark.implicits._
+    val scored = df.select(col(langCol).as[String], col(textCol).as[String])
+      .map { case (lang, text) => (lang, model.logPerplexity(text)) }
+      .toDF("lang", "ppl")
+    scored.groupBy("lang")
+      .agg(avg("ppl").as("m"), coalesce(stddev_samp(col("ppl")), lit(0.0)).as("s"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+  }
+}

@@ -89,6 +89,7 @@ final case class CascadeConfig(
     maxWords: Int = 100000,
     meanWordLen: Bounds = Bounds(2.0, 12.0),
     maxSymbolRatio: Double = 0.30,
+    minDistinctWordRatio: Double = 0.0, // repetition rule (C4/Gopher n-gram dedup)
     // lang-conditioned bounds (502) — stopword-ratio minimum per language
     langStopMin: Map[String, Double] = Map("en" -> 0.05),
     // lang mismatch (902)
@@ -110,8 +111,14 @@ final case class CascadeConfig(
     dualHiFrac: Double = 0.8,
     // fgt (11) — deviation vs broadcast model mean/sd, ensemble majority
     fgtZ: Double = 4.0,
-    // perplexity outlier (2)
+    fgtSdFloor: Double = 0.3, // dispersion floor so near-constant corpora don't over-flag
+    // perplexity outlier (2) — absolute bound vs the broadcast LM
     maxLogPpl: Double = 8.0,
+    // sct_fg_dual (4) — binary event vs pseudo-doc-augmented neighborhood
+    fgDualDigitRatio: Double = 0.2,
+    fgDualMinN: Int = 5,
+    fgDualLoFrac: Double = 0.1,
+    fgDualHiFrac: Double = 0.95,
     // isolation (800) — neighborhood key may be finer than the buddy key
     // (a doc needs same-language buddies on its host to be checkable)
     isolationMinN: Int = 3,

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFeatures
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash groupBy), word-n-gram Jaccard, MinHash+LSH banding, and
+  * SimHash bucketing. The reference's ingest-time spatial duplicate_check
+  * (keep the first of near-coincident stations,
+  * /root/reference/functions/IO/read_data_to_check.r:122-143) generalizes
+  * to all of these: a cheap bucketing key first, exact confirmation second,
+  * deterministic keeper selection (min id) third.
+  *
+  * Scale notes: every operator is groupBy/join-shaped (map-side combinable,
+  * AQE-skew-splittable); none uses windows over unbounded key groups. The
+  * shingle self-join prunes frequent shingles (stop-shingles) with a
+  * configurable document-frequency cap, which bounds the candidate-pair
+  * blowup the same way stopword removal bounds an inverted index.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the minimum-id row per normalized-text fingerprint.
+    * Aggregation + broadcast-back semi-join — no window, skew-safe.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withFp = df.withColumn("_fp", TextFeatures.fingerprint(col(textCol)))
+    val keepers = withFp.groupBy("_fp").agg(min(col(idCol)).as(idCol))
+    withFp.join(keepers, Seq("_fp", idCol), "left_semi").drop("_fp")
+  }
+
+  /** Distinct word n-gram shingles per doc: (id, shingle). */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    // sliding n-grams via transform over 0-based start indices; guarded so
+    // a doc shorter than n words yields an empty list (Spark's `sequence`
+    // would otherwise generate a DESCENDING range)
+    val grams = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(array_distinct(grams)).as("shingle"))
+  }
+
+  /** Candidate near-dup pairs with exact n-gram Jaccard >= threshold.
+    * Output: (id_a, id_b, inter, card_a, card_b, jaccard) with id_a < id_b.
+    * `maxShingleDf` prunes shingles shared by more than that many docs.
+    */
+  def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3, threshold: Double = 0.6,
+                   maxShingleDf: Int = 1000): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n)
+    val pruned = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxShingleDf).select("shingle"),
+      Seq("shingle"), "left_semi")
+    val cards = pruned.groupBy(col(idCol)).agg(count(lit(1)).as("card"))
+
+    val a = pruned.select(col(idCol).as("id_a"), col("shingle"))
+    val b = pruned.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(cards.select(col(idCol).as("id_a"), col("card").as("card_a")), Seq("id_a"))
+      .join(cards.select(col(idCol).as("id_b"), col("card").as("card_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("card_a") + col("card_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "card_a", "card_b", "jaccard")
+  }
+
+  /** MinHash signature components: for permutation i, the minimum md5 of
+    * (i || '#' || shingle) — lexicographic min of a keyed cryptographic
+    * hash is a valid minwise permutation and is portable to the SQL oracle
+    * (md5 is identical in Spark and DuckDB).
+    */
+  def minhashSignature(df: DataFrame, textCol: String, idCol: String,
+                       n: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n)
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i#"), col("shingle")))).as(s"mh$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: band the signature, bucket-join within
+    * bands, dedup pairs. Docs agreeing on all rows of any band are
+    * candidates (id_a < id_b).
+    */
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+                 n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val sig = minhashSignature(df, textCol, idCol, n, bands * rowsPerBand)
+    val bandPairs = (0 until bands).map { b =>
+      val key = concat_ws("#",
+        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+      val keyed = sig.select(col(idCol), key.as("bkey"))
+        .withColumn("band", lit(b))
+      val l = keyed.select(col("band"), col("bkey"), col(idCol).as("id_a"))
+      val r = keyed.select(col("band"), col("bkey"), col(idCol).as("id_b"))
+      l.join(r, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }
+    bandPairs.reduce(_ unionByName _).distinct()
+  }
+
+  /** Portable 16-bit SimHash over whitespace tokens: each token's md5 first
+    * 4 hex nibbles give 16 bits; per bit, sum (2·bit − 1) over tokens; the
+    * sign picks the output bit. Pure integer arithmetic, bit-identical in
+    * the SQL oracle. (A 64-bit variant is a constant change; 16 bits keeps
+    * the oracle SQL readable.)
+    */
+  def simhash16(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("h", md5(col("w")))
+    def nibble(pos: Int): Column =
+      (0 until 16).foldLeft(lit(0)) { (acc, v) =>
+        when(substring(col("h"), pos + 1, 1) === "0123456789abcdef".charAt(v).toString,
+          lit(v)).otherwise(acc)
+      }
+    val withBits = (0 until 4).foldLeft(tok)((d, j) => d.withColumn(s"nib$j", nibble(j)))
+    val sums = (0 until 16).map { b =>
+      val nib = col(s"nib${b / 4}")
+      val bit = floor(nib / math.pow(2, b % 4).toInt).cast("int") % 2
+      sum(bit * 2 - 1).as(s"s$b")
+    }
+    val agg = withBits.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val hash = (0 until 16).map { b =>
+      when(col(s"s$b") > 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+    agg.select(col(idCol), hash.as("simhash"))
+  }
+
+  /** SimHash near-dup candidate pairs: equal-bucket join (id_a < id_b). */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val h = simhash16(df, textCol, idCol)
+    val l = h.select(col("simhash"), col(idCol).as("id_a"))
+    val r = h.select(col("simhash"), col(idCol).as("id_b"))
+    l.join(r, Seq("simhash")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "simhash")
+  }
+}

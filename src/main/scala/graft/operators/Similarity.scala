@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]) — brute-force
+  * cosine top-k as the exact baseline and a random-hyperplane-LSH bucketed
+  * variant as the 100 TB scale path.
+  *
+  * Determinism/portability: the dot product is a *sequential left fold* in
+  * index order (Spark `aggregate` over `zip_with`; DuckDB `list_reduce`),
+  * products are float×float exact in double, so the oracle matches
+  * bit-for-bit. The LSH hyperplanes are small-integer-valued (pure function
+  * of (plane, dim)), so bucket assignment is exact in both engines.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns (exact). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k cosine neighbors for a (small) query id set:
+    * broadcast the queries, cross-score against the corpus, keep the k best
+    * per query. The per-query candidate set is ranked with a window over
+    * the tiny query-id partitioning (bounded by |queries| × |corpus| rows
+    * pre-filter; at scale the LSH variant below prunes candidates first).
+    */
+  def cosineTopK(df: DataFrame, vecCol: String, idCol: String,
+                 queryIds: Seq[Long], k: Int): DataFrame = {
+    val queries = df.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val scored = df.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos", cosine(col("_qv"), col(vecCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("cos"), asc(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic small-integer hyperplane component for (plane, dim):
+    * values in {-3..3}, exact in any engine.
+    */
+  def planeComponent(p: Int, j: Column): Column =
+    pmod(lit(p * 31) + j * 17, lit(7)) - lit(3)
+
+  /** Random-hyperplane LSH bucket id: one sign bit per plane over the
+    * integer-valued hyperplanes — the scale path: equal-bucket join
+    * replaces the quadratic cross join.
+    */
+  def lshBucket(vec: Column, nPlanes: Int): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, transform(sequence(lit(0), size(vec) - 1),
+          j => planeComponent(p, j).cast("double")),
+          (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucketed approximate near-duplicate pairs: same LSH bucket, then exact
+    * cosine confirmation (id_a < id_b, cosine >= threshold).
+    */
+  def annPairs(df: DataFrame, vecCol: String, idCol: String,
+               nPlanes: Int = 8, threshold: Double = 0.9): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol))
+      .withColumn("bucket", lshBucket(col(vecCol), nPlanes))
+    val l = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val r = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("_va"), col("_vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "bucket", "cos")
+  }
+}

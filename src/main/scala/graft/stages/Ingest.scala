@@ -66,6 +66,7 @@ object Ingest {
       .withColumn(SymbolRatio, TextFeatures.symbolRatio(t))
       .withColumn(StopRatio, TextFeatures.stopwordRatio(t, EnStopwords))
       .withColumn(DistinctWordRatio, TextFeatures.distinctWordRatio(t))
+      .withColumn(DigitRatio, TextFeatures.digitRatio(t))
   }
 
   /** Blacklist (999) then keeplist (990) stamps — blacklist wins, keep only

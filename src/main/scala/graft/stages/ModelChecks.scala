@@ -1,0 +1,166 @@
+package graft.stages
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.model.{CascadeConfig, FlagCodes}
+import graft.ml.{LangIdModel, NgramLMModel, Scrubber}
+
+/** Broadcast reference models for the model-based checks — the webtext
+  * analog of the reference's "first guess" environment (gridded background
+  * fields + DEM loaded once and consulted by several checks,
+  * /root/reference/functions/IO/read_fgs.r, titan.r:76-77,172-173).
+  * `lms` is an ensemble (TITAN ensemble members, read_fgs.r:78-110); each
+  * member carries its own per-language (mean, sd) perplexity background.
+  */
+final case class Models(
+    langId: LangIdModel,
+    lms: Seq[NgramLMModel],
+    pplStats: Seq[Map[String, (Double, Double)]]) extends Serializable
+
+object Models {
+  import graft.ml.{LangId, NgramLM}
+
+  /** Train the full model set from a trusted corpus: a 3-member LM ensemble
+    * (different orders/hash seeds — TITAN ensemble members) each with its
+    * per-language perplexity background, plus the char-n-gram langid.
+    */
+  def train(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+            textCol: String = "text", langCol: String = "lang"): Models = {
+    val lms = Seq(
+      NgramLM.train(spark, df, textCol, order = 3, seed = 17),
+      NgramLM.train(spark, df, textCol, order = 3, seed = 101),
+      NgramLM.train(spark, df, textCol, order = 2, seed = 7))
+    val stats = lms.map(NgramLM.pplStats(spark, df, textCol, langCol, _))
+    Models(LangId.default, lms, stats)
+  }
+}
+
+/** Checks and transforms that consult broadcast models. The model lookups
+  * run as deterministic scalar UDFs over broadcast-captured maps (the
+  * closure is serialized once per executor, KenLM-style); everything else
+  * stays a Catalyst expression.
+  */
+object ModelChecks {
+  import Cols._
+
+  /** Compute detected-language and per-ensemble-member log-perplexity
+    * columns once (the reference computes fg values at obs locations once
+    * and reuses them across checks, sct_fg_resistant.r:197,227-267).
+    */
+  def withModelFeatures(df: DataFrame, models: Models): DataFrame = {
+    val langId = models.langId
+    val detUdf = udf((t: String) => langId.detect(t))
+    var out = df
+      .withColumn("_det", detUdf(col(Text)))
+      .withColumn(DetLang, col("_det._1"))
+      .withColumn(DetLangConf, col("_det._2"))
+      .drop("_det")
+    models.lms.zipWithIndex.foreach { case (lm, i) =>
+      val pplUdf = udf((t: String) => lm.logPerplexity(t))
+      out = out.withColumn(s"$LogPpl$i", pplUdf(col(Text)))
+    }
+    out.withColumn(LogPpl, col(s"${LogPpl}0"))
+  }
+
+  /** 902 (model form) — declared vs detected language with a confidence
+    * margin (analog: station elevation vs DEM,
+    * functions/checks/check_z_against_dem.r:18-27).
+    */
+  def langMismatch(df: DataFrame, cfg: CascadeConfig): DataFrame =
+    Stage.sticky(df,
+      col(DetLangConf) >= cfg.langMismatchMinConf &&
+        col(DetLang) =!= col(Lang) && col(Lang).isNotNull,
+      FlagCodes.LangMismatch, flagsKeep = false)
+
+  /** 11 — fgt analog: deviation of doc perplexity from the broadcast
+    * background mean beyond fgtZ·sd, voted over the LM ensemble with
+    * majority ≥ nens/2 (functions/checks/fgt.r:267-289,336-343).
+    */
+  def fgt(df: DataFrame, cfg: CascadeConfig, models: Models): DataFrame = {
+    val votes: Column = models.pplStats.zipWithIndex.map { case (stats, i) =>
+      val mean = stats.foldLeft(lit(Double.NaN)) { case (acc, (lang, (m, _))) =>
+        when(col(Lang) === lang, lit(m)).otherwise(acc)
+      }
+      val sd = stats.foldLeft(lit(Double.NaN)) { case (acc, (lang, (_, s))) =>
+        when(col(Lang) === lang, lit(math.max(s, cfg.fgtSdFloor))).otherwise(acc)
+      }
+      when(abs(col(s"$LogPpl$i") - mean) > lit(cfg.fgtZ) * sd, lit(1)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val majority = (models.lms.size + 1) / 2
+    Stage.sticky(df, votes >= majority, FlagCodes.Fgt, flagsKeep = false)
+  }
+
+  /** 2 — sct_fg analog: absolute perplexity bound vs the primary broadcast
+    * LM ("External" background elaboration,
+    * functions/checks/sct_fg_resistant.r:276-303).
+    */
+  def sctFg(df: DataFrame, cfg: CascadeConfig): DataFrame =
+    Stage.sticky(df, col(LogPpl) > cfg.maxLogPpl, FlagCodes.SctFg, flagsKeep = false)
+
+  /** 4 — sct_fg_dual analog: reference pseudo-docs are appended with
+    * doit=2 (informative but never flaggable — exactly the reference's
+    * check-mask-0 pseudo-observations, sct_fg_dual_r.r:173-185), the
+    * binary digit-heavy event is judged against the augmented
+    * leave-one-out neighborhood fraction, and the pseudo rows are removed.
+    */
+  def sctFgDual(df: DataFrame, cfg: CascadeConfig, pseudoTexts: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val marked = df.withColumn("_pseudo", lit(false))
+    val domains = df.select(col(Domain)).distinct()
+    val pseudoBase = domains.crossJoin(
+      broadcast(pseudoTexts.zipWithIndex.toDF("_ptext", "_pidx")))
+    val pseudo = Ingest.features(
+      pseudoBase.select(
+        concat(lit("pseudo://"), col(Domain), lit("/"), col("_pidx")).as(Url),
+        col(Domain),
+        col("_ptext").as(Text)))
+      .withColumn(Lang, lit(null).cast("string"))
+      .withColumn(Doit, lit(2))
+      .withColumn(Prio, lit(0))
+      .withColumn(Dqc, lit(null).cast("int"))
+      .withColumn("_pseudo", lit(true))
+
+    val unioned = marked.unionByName(pseudo, allowMissingColumns = true)
+    val event = (col(DigitRatio) > cfg.fgDualDigitRatio).cast("int")
+    val stats = Neighborhood.groupStats(unioned.withColumn("_ev", event), col("_ev"), cfg)
+      .withColumnRenamed("_s", "_evs").withColumnRenamed("_n", "_evn").drop("_q")
+    val joined = unioned.withColumn("_ev", event)
+      .join(broadcast(stats), Seq(Domain), "left")
+    val nn = (col("_evn") - lit(1)).cast("double")
+    val frac = when(nn > 0, (col("_evs") - col("_ev").cast("long")).cast("double") / nn)
+    val fail = (col("_evn") - lit(1)) >= cfg.fgDualMinN &&
+      ((frac >= cfg.fgDualHiFrac && col("_ev") === 0) ||
+       (frac <= cfg.fgDualLoFrac && col("_ev") === 1))
+    Stage.sticky(joined, fail, FlagCodes.SctFgDual, flagsKeep = false)
+      .filter(!col("_pseudo"))
+      .drop("_pseudo", "_ev", "_evs", "_evn")
+  }
+
+  /** Backfill + re-check: rows flagged 901 with recoverable html get their
+    * text extracted deterministically and their flag restored to null, then
+    * the metadata check reruns — exactly the reference's DEM elevation fill
+    * between the two metadata rounds (read_dem.r:44-58, titan.r:121,179).
+    */
+  def backfillAndRecheck(df: DataFrame, cfg: CascadeConfig): DataFrame = {
+    // materialize the recoverability predicate BEFORE rewriting text — the
+    // flag restore must see the pre-fill state (read_dem.r restores the
+    // pre-metadata-check flag for exactly the rows it filled)
+    val recoverable = col(Dqc) === FlagCodes.Metadata &&
+      col(Html).isNotNull && length(col(Html)) > 0 &&
+      (col(Text).isNull || length(trim(col(Text))) === 0)
+    val filled = df
+      .withColumn("_recov", recoverable)
+      .withColumn(Text, when(col("_recov"), Scrubber.extractText(col(Html))).otherwise(col(Text)))
+      .withColumn(Dqc, when(col("_recov"), lit(null).cast("int")).otherwise(col(Dqc)))
+      .drop("_recov")
+    RowChecks.metadata.transform(Ingest.features(filled), cfg)
+  }
+
+  /** Scrub stage (windcorr analog, rr_windcorr.r:194-208): rewrite
+    * text → scrubbed_text for still-alive rows, preserving the original.
+    */
+  def scrubStage(df: DataFrame): DataFrame =
+    df.withColumn(ScrubbedText,
+      when(Stage.referenceEligible, Scrubber.scrub(col(Text))).otherwise(col(Text)))
+}

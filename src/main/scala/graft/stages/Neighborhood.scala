@@ -76,11 +76,12 @@ object Neighborhood {
 
     val x    = col(NWords).cast("long")
     val nn   = (col("_n") - lit(1)).cast("double")            // leave-one-out count
-    val mean = (col("_s") - x).cast("double") / nn
-    val vr   = ((col("_q") - x * x).cast("double") - nn * mean * mean) /
-               (col("_n") - lit(2)).cast("double")
+    val mean = when(nn > 0, (col("_s") - x).cast("double") / nn)
+    val vr   = when(col("_n") > 2,
+      ((col("_q") - x * x).cast("double") - nn * mean * mean) /
+        (col("_n") - lit(2)).cast("double"))
     val sd   = sqrt(greatest(vr, lit(0.0)))
-    val z    = (x.cast("double") - mean) / sd
+    val z    = when(sd > 0, (x.cast("double") - mean) / sd)
 
     val inClass = prioClass.map(p => col(Prio) === p).getOrElse(lit(true))
     val fail = inClass &&
@@ -108,7 +109,7 @@ object Neighborhood {
       percentile(aliveDev, lit(0.5)).as("_mad"))
     val joined = withMed.join(broadcast(mad), Seq(Domain), "left")
 
-    val z = dev / (lit(1.4826) * col("_mad"))
+    val z = when(col("_mad") > 0, dev / (lit(1.4826) * col("_mad")))
     val fail = col("_n") >= cfg.sctMinN && col("_mad") > 0.0 && z > cfg.sctZ
     Stage.sticky(joined, fail, FlagCodes.Sct, flagsKeep = false)
       .drop("_med", "_n", "_mad")
@@ -129,7 +130,7 @@ object Neighborhood {
       .join(broadcast(stats), Seq(Domain), "left")
 
     val nn   = (col("_evn") - lit(1)).cast("double")
-    val frac = (col("_evs") - col("_ev").cast("long")).cast("double") / nn
+    val frac = when(nn > 0, (col("_evs") - col("_ev").cast("long")).cast("double") / nn)
     val fail = (col("_evn") - lit(1)) >= cfg.dualMinN &&
       ((frac >= cfg.dualHiFrac && col("_ev") === 0) ||
        (frac <= cfg.dualLoFrac && col("_ev") === 1))

@@ -32,7 +32,8 @@ object RowChecks {
     cfg =>
       col(NWords) < cfg.minWords || col(NWords) > cfg.maxWords ||
       col(MeanWordLen) < cfg.meanWordLen.min || col(MeanWordLen) > cfg.meanWordLen.max ||
-      col(SymbolRatio) > cfg.maxSymbolRatio)
+      col(SymbolRatio) > cfg.maxSymbolRatio ||
+      col(DistinctWordRatio) < cfg.minDistinctWordRatio)
 
   /** 502 — lang-conditioned bounds: threshold looked up by `lang` the way
     * the reference looks bounds up by month

@@ -24,6 +24,8 @@ object Cols {
   val SymbolRatio = "f_symr"
   val StopRatio   = "f_stopr"
   val DistinctWordRatio = "f_dwr"
+  val DigitRatio  = "f_digr"
+  val ScrubbedText = "scrubbed_text"
   val LogPpl      = "f_logppl"   // model-based (n-gram LM)
   val DetLang     = "f_detlang"  // model-based (char n-gram langid)
   val DetLangConf = "f_detconf"

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.io.{PagesGen, TableIO}
+import graft.cascade.ResumableCascade
+import graft.stages.Cols
+
+class TableIOSpec extends SparkSpec {
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("tableio").toString
+
+  test("write/read round trip with snapshot isolation") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val df1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val s1 = TableIO.write(df1, root, "t")
+    assert(s1 === 0L)
+    assert(TableIO.read(spark, root, "t").count() === 2)
+
+    val df2 = Seq((3, "c")).toDF("id", "v")
+    val s2 = TableIO.write(df2, root, "t")
+    assert(s2 === 1L)
+    // current snapshot is the new one; the old remains readable by id
+    assert(TableIO.read(spark, root, "t").count() === 1)
+    assert(TableIO.read(spark, root, "t", Some(0L)).count() === 2)
+    assert(TableIO.currentSnapshot(root, "t") === Some(1L))
+  }
+
+  test("uncommitted data is invisible and vacuumable") {
+    import spark.implicits._
+    val root = tmpRoot()
+    TableIO.write(Seq((1, "a")).toDF("id", "v"), root, "t")
+    // simulate a killed write: data dir exists, no manifest update
+    Seq((9, "z")).toDF("id", "v").write
+      .parquet(s"$root/t/data/s99")
+    assert(TableIO.currentSnapshot(root, "t") === Some(0L))
+    assert(TableIO.read(spark, root, "t").count() === 1)
+    TableIO.vacuum(root, "t")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/t/data/s99")))
+    assert(TableIO.read(spark, root, "t").count() === 1)
+  }
+
+  test("resumable cascade: restart reuses committed stages and matches a cold run") {
+    val cfg = Fixture.cfg
+    val pages = PagesGen.generate(spark, 600L)
+    val cold = ResumableCascade.run(spark, pages, cfg, tmpRoot())
+      .select("url", Cols.Dqc).collect().map(r => (r.getString(0), r.getInt(1))).sorted
+
+    // run once, then "crash" and rerun against the same root — the second
+    // run must resume from the last committed stage and agree exactly
+    val root = tmpRoot()
+    ResumableCascade.run(spark, pages, cfg, root)
+    val manifestCountBefore = Files.list(java.nio.file.Paths.get(root)).count()
+    val resumed = ResumableCascade.run(spark, pages, cfg, root)
+      .select("url", Cols.Dqc).collect().map(r => (r.getString(0), r.getInt(1))).sorted
+    assert(resumed.sameElements(cold))
+    // no new stage tables were created on resume (only labeled/metrics advance)
+    assert(Files.list(java.nio.file.Paths.get(root)).count() === manifestCountBefore)
+
+    // metrics table exists and covers all rows
+    val m = TableIO.read(spark, root, "metrics")
+    assert(m.agg(sum("n_docs")).collect()(0).getLong(0) === 600L)
+  }
+}
