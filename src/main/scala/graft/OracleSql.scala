@@ -203,6 +203,103 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Rolling-hash fingerprint (mirrors TextFeatures.rollingHash): left fold
+    * with an explicit 0 init via list_prepend (list_reduce's bare form seeds
+    * with the first element; prepending 0 reproduces Spark's aggregate).
+    */
+  val rollHash: String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(text, ' '), " +
+      "w -> CAST(ascii(w) AS BIGINT) * 31 + length(w))), " +
+      "(acc, x) -> (acc * 131 + x) % 1000000007)"
+
+  def qRollHash: String =
+    s"SELECT doc_id, $rollHash AS roll_fp FROM documents ORDER BY doc_id"
+
+  // ---- multimodal plumbing oracles ----
+  // The synthetic payload is bin = unhex(magic(doc_id%5) || repeat(md5(text),4));
+  // its canonical hex string H lets DuckDB mirror every binary op as a
+  // hex-string op: hex(substring(bin,p,l)) == substr(H, 2p-1, 2l).
+  val mmMagicCase: String =
+    """(CASE CAST(doc_id % 5 AS INT)
+      |  WHEN 0 THEN '89504E470D0A1A0A' WHEN 1 THEN 'FFD8FFE000104A46'
+      |  WHEN 2 THEN '4749463839610000' WHEN 3 THEN '52494646AAAA0000'
+      |  ELSE '0000001866747970' END)""".stripMargin.replaceAll("\n", " ")
+  val mmHex: String = s"($mmMagicCase || upper(repeat(md5(text), 4)))"
+
+  /** Mirrors Multimodal.sniffFormat's when-chain over the head bytes. */
+  def mmFormat(h: String): String =
+    s"""(CASE WHEN substr($h, 1, 8) = '89504E47' THEN 'png'
+       | WHEN substr($h, 1, 6) = 'FFD8FF' THEN 'jpeg'
+       | WHEN substr($h, 1, 6) = '474946' THEN 'gif'
+       | WHEN substr($h, 1, 8) = '52494646' THEN 'riff'
+       | WHEN substr($h, 9, 8) = '66747970' THEN 'mp4'
+       | WHEN substr($h, 1, 10) = '3C68746D6C' OR substr($h, 1, 10) = '3C21444F43' THEN 'html'
+       | ELSE 'unknown' END)""".stripMargin.replaceAll("\n", " ")
+
+  def qMmMeta: String =
+    s"""WITH m AS (SELECT doc_id, $mmHex AS h FROM documents)
+       |SELECT doc_id, ${mmFormat("h")} AS mm_format,
+       |  CAST(length(h) // 2 AS INT) AS n_bytes,
+       |  md5(substr(h, 1, 128)) AS head_fp
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Mirrors Multimodal.frameSample(n=4, frameBytes=32): evenly spaced
+    * 32-byte slices; offsets via the same integer division.
+    */
+  def qMmFrames(n: Int = 4, frameBytes: Int = 32): String =
+    s"""WITH m AS (SELECT doc_id, $mmHex AS h FROM documents),
+       |f AS (SELECT doc_id, h, unnest(range(0, $n)) AS frame_no FROM m),
+       |o AS (SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+       |  CAST((frame_no * greatest(length(h) // 2 - $frameBytes, 0)) // ${n - 1} AS INT) AS "offset", h
+       |  FROM f)
+       |SELECT doc_id, frame_no, "offset",
+       |  substr(h, "offset" * 2 + 1, ${frameBytes * 2}) AS chunk_hex
+       |FROM o ORDER BY doc_id, frame_no""".stripMargin
+
+  /** IVF top-k (mirrors Similarity.ivfTopK): coarse assignment to the
+    * nearest of the `nCentroids` smallest-id vectors, probe `nProbe`
+    * buckets, exact cosine within them.
+    */
+  def qIvfTopK(queryIds: Seq[Long], k: Int, nCentroids: Int, nProbe: Int): String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+       |               ORDER BY vec_id LIMIT $nCentroids),
+       |a0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+       |         ${sqlCosine("e.embedding", "c.cv")} AS ccos
+       |       FROM embeddings e CROSS JOIN cents c),
+       |a AS (SELECT vec_id, embedding, cent_id FROM
+       |       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id ASC) AS r FROM a0)
+       |      WHERE r = 1),
+       |q0 AS (SELECT e.vec_id AS query_id, e.embedding AS qv, c.cent_id,
+       |         ${sqlCosine("e.embedding", "c.cv")} AS qcos
+       |       FROM embeddings e CROSS JOIN cents c
+       |       WHERE e.vec_id IN (${queryIds.mkString(", ")})),
+       |p AS (SELECT query_id, qv, cent_id FROM
+       |       (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cent_id ASC) AS r FROM q0)
+       |      WHERE r <= $nProbe),
+       |s AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |        ${sqlCosine("p.qv", "a.embedding")} AS cos
+       |      FROM a JOIN p USING (cent_id) WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, neighbor_id, cos, rank FROM
+       |  (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank FROM s)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Embedding near-dup dedup survivors (mirrors Dedup.embeddingNearDup). */
+  def qDedupEmbed(nPlanes: Int, threshold: Double): String = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = sqlDot("embedding",
+        s"list_transform(range(0, len(embedding)), j -> CAST(((${p * 31}) + j * 17) % 7 - 3 AS DOUBLE))")
+      s"CASE WHEN $proj >= 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, embedding, ($bits) AS bucket FROM embeddings),
+       |drops AS (SELECT DISTINCT b2.vec_id AS id_b
+       |          FROM b a JOIN b b2 USING (bucket)
+       |          WHERE a.vec_id < b2.vec_id
+       |            AND ${sqlCosine("a.embedding", "b2.embedding")} >= $threshold)
+       |SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM drops)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** PII scrub parity (mirrors Scrubber.scrub + the synthetic PII suffix). */
   def qScrub: String =
     """SELECT doc_id,

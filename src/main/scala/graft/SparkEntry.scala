@@ -9,7 +9,7 @@ import graft.cascade.Cascade
 import graft.io.{Docs, PagesGen}
 import graft.functions.TextFeatures
 import graft.ml.Scrubber
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +43,20 @@ object SparkEntry {
 
   private def norm(s: SparkSession, dir: String): DataFrame =
     Ingest.normalize(Docs.pages(s, dir), docCfg)
+
+  /** Deterministic opaque payload for the multimodal queries: a sniffable
+    * magic header (cycled by doc_id) followed by md5-derived bytes — the
+    * DuckDB oracle mirrors every binary op on its hex form (OracleSql.mmHex).
+    */
+  private def mmBin: org.apache.spark.sql.Column = {
+    val m = pmod(col("doc_id"), lit(5)).cast("int")
+    val magic = when(m === 0, lit("89504E470D0A1A0A"))
+      .when(m === 1, lit("FFD8FFE000104A46"))
+      .when(m === 2, lit("4749463839610000"))
+      .when(m === 3, lit("52494646AAAA0000"))
+      .otherwise(lit("0000001866747970"))
+    unhex(concat(magic, repeat(md5(col("text")), 4)))
+  }
 
   private def checkQ(stage: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => stage(norm(s, dir))
@@ -102,6 +116,31 @@ object SparkEntry {
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash16(Docs.read(s, dir), "text", "doc_id").orderBy("doc_id")),
 
+    // ---- multimodal binary-column plumbing (decode step stubbed; see
+    // operators/Multimodal.scala) — payload synthesized deterministically
+    // from the documents table so the oracle can mirror it in hex space ----
+    "q_mm_meta" -> ((s, dir) => {
+      val m = Docs.read(s, dir).withColumn("_bin", mmBin)
+      m.select(
+        col("doc_id"),
+        Multimodal.sniffFormat(col("_bin")).as("mm_format"),
+        length(col("_bin")).cast("int").as("n_bytes"),
+        md5(hex(substring(col("_bin"), 1, 64))).as("head_fp"))
+        .orderBy("doc_id")
+    }),
+    "q_mm_frames" -> ((s, dir) =>
+      Docs.read(s, dir).withColumn("_bin", mmBin)
+        .select(col("doc_id"),
+          explode(Multimodal.frameSample(col("_bin"), 4, 32)).as("f"))
+        .select(col("doc_id"), col("f.frame_no").as("frame_no"),
+          col("f.offset").as("offset"), hex(col("f.chunk")).as("chunk_hex"))
+        .orderBy("doc_id", "frame_no")),
+    // rows-only (stubbed decode has no SQL twin); gated by OperatorSpec
+    "q_mm_embed" -> ((s, dir) =>
+      Multimodal.mmFeatures(
+        Docs.read(s, dir).withColumn("_bin", mmBin), "_bin", "doc_id")
+        .orderBy("doc_id")),
+
     // ---- similarity search over embeddings ----
     "q_ann_topk" -> ((s, dir) =>
       Similarity.cosineTopK(s.read.parquet(s"$dir/embeddings.parquet"),
@@ -111,6 +150,18 @@ object SparkEntry {
       Similarity.annPairs(s.read.parquet(s"$dir/embeddings.parquet"),
           "embedding", "vec_id", nPlanes = 8, threshold = 0.25)
         .orderBy("id_a", "id_b")),
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+          "embedding", "vec_id", Seq(0L, 1L, 2L, 3L, 4L), k = 5,
+          nCentroids = 8, nProbe = 2)
+        .orderBy("query_id", "rank")),
+    "q_dedup_embed" -> ((s, dir) =>
+      Dedup.embeddingNearDup(s.read.parquet(s"$dir/embeddings.parquet"),
+          "embedding", "vec_id", nPlanes = 8, threshold = 0.25)
+        .select(col("vec_id")).orderBy("vec_id")),
+    "q_text_rollhash" -> ((s, dir) =>
+      Docs.read(s, dir).select(col("doc_id"),
+        TextFeatures.rollingHash(col("text")).as("roll_fp")).orderBy("doc_id")),
 
     // ---- PII scrub (windcorr analog; byte-exact regex parity) ----
     "q_scrub" -> ((s, dir) =>
@@ -234,6 +285,11 @@ object SparkEntry {
     "q_dedup_simhash" -> OracleSql.qSimhash16,
     "q_ann_topk"      -> OracleSql.qAnnTopK(Seq(0L, 1L, 2L, 3L, 4L), 5),
     "q_ann_pairs"     -> OracleSql.qAnnPairs(8, 0.25),
+    "q_ann_ivf"       -> OracleSql.qIvfTopK(Seq(0L, 1L, 2L, 3L, 4L), 5, 8, 2),
+    "q_dedup_embed"   -> OracleSql.qDedupEmbed(8, 0.25),
+    "q_text_rollhash" -> OracleSql.qRollHash,
+    "q_mm_meta"       -> OracleSql.qMmMeta,
+    "q_mm_frames"     -> OracleSql.qMmFrames(4, 32),
     "q_scrub"         -> OracleSql.qScrub,
     "q_text_tokens" ->
       s"""SELECT doc_id,

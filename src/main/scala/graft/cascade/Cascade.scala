@@ -18,6 +18,19 @@ import graft.stages._
 object Cascade {
   import Cols._
 
+  /** One cascade stage. `selfRef` marks the self-join shape — the stage
+    * aggregates statistics over its input and joins them back, so it scans
+    * the input more than once. Folding such stages over a lazy plan would
+    * re-execute the whole upstream (including the model UDF columns) once
+    * per scan, compounding per stage — the runtime blows up exponentially
+    * in cascade depth. `run` therefore materializes the input of every
+    * selfRef stage (localCheckpoint: computes it once, truncates the
+    * logical plan); ResumableCascade gets the same effect from its
+    * per-stage snapshot commit + re-read, which is the cluster-reliable
+    * form (executor-local checkpoint blocks don't survive executor loss).
+    */
+  final case class StageDef(code: Int, selfRef: Boolean, f: DataFrame => DataFrame)
+
   /** Iterate a spatial check to convergence: rerun while the number of new
     * suspects exceeds `breakAt`, up to `maxIter` rounds — removing an
     * outlier changes its neighbors' statistics
@@ -51,57 +64,66 @@ object Cascade {
     */
   def stages(cfg: CascadeConfig,
              models: Option[Models] = None,
-             pseudoTexts: Seq[String] = Nil): Seq[(Int, DataFrame => DataFrame)] = {
+             pseudoTexts: Seq[String] = Nil): Seq[StageDef] = {
     import FlagCodes._
-    val b = Seq.newBuilder[(Int, DataFrame => DataFrame)]
+    val b = Seq.newBuilder[StageDef]
     if (cfg.enabled.contains(Metadata)) {
-      b += Metadata -> (d => RowChecks.metadata.transform(d, cfg))
-      b += Metadata -> (d => ModelChecks.backfillAndRecheck(d, cfg))
+      b += StageDef(Metadata, selfRef = false, d => RowChecks.metadata.transform(d, cfg))
+      b += StageDef(Metadata, selfRef = false, d => ModelChecks.backfillAndRecheck(d, cfg))
     }
     // scrub is non-flagging; code 0 marks it as a transform, always on
-    b += Good -> (d => ModelChecks.scrubStage(d))
-    models.foreach(m => b += Good -> (d => ModelChecks.withModelFeatures(d, m)))
+    b += StageDef(Good, selfRef = false, d => ModelChecks.scrubStage(d))
+    models.foreach(m =>
+      b += StageDef(Good, selfRef = false, d => ModelChecks.withModelFeatures(d, m)))
     if (cfg.enabled.contains(CrossField))
-      b += CrossField -> (d => RowChecks.crossField.transform(d, cfg))
+      b += StageDef(CrossField, selfRef = false, d => RowChecks.crossField.transform(d, cfg))
     if (cfg.enabled.contains(LangMismatch))
-      b += LangMismatch -> (d => models match {
+      b += StageDef(LangMismatch, selfRef = false, d => models match {
         case Some(_) => ModelChecks.langMismatch(d, cfg)
         case None    => RowChecks.langMismatchHeuristic.transform(d, cfg)
       })
     if (cfg.enabled.contains(Plausibility))
-      b += Plausibility -> (d => RowChecks.plausibility.transform(d, cfg))
+      b += StageDef(Plausibility, selfRef = false, d => RowChecks.plausibility.transform(d, cfg))
     if (cfg.enabled.contains(LangBounds))
-      b += LangBounds -> (d => RowChecks.langBounds.transform(d, cfg))
+      b += StageDef(LangBounds, selfRef = false, d => RowChecks.langBounds.transform(d, cfg))
     if (cfg.enabled.contains(SctFgDual) && pseudoTexts.nonEmpty)
-      b += SctFgDual -> (d => ModelChecks.sctFgDual(d, cfg, pseudoTexts))
+      b += StageDef(SctFgDual, selfRef = true, d => ModelChecks.sctFgDual(d, cfg, pseudoTexts))
     if (cfg.enabled.contains(SctDual))
-      b += SctDual -> (d => Neighborhood.dualOnce(d, cfg))
+      b += StageDef(SctDual, selfRef = true, d => Neighborhood.dualOnce(d, cfg))
     models.foreach { m =>
       if (cfg.enabled.contains(Fgt))
-        b += Fgt -> (d => ModelChecks.fgt(d, cfg, m))
+        b += StageDef(Fgt, selfRef = false, d => ModelChecks.fgt(d, cfg, m))
     }
     if (cfg.enabled.contains(Buddy))
-      b += Buddy -> (d => iterate(d, cfg.buddyMaxIter, cfg.buddyBreakAt, Buddy)(
-        Neighborhood.buddyOnce(_, cfg)))
+      b += StageDef(Buddy, selfRef = true, d =>
+        iterate(d, cfg.buddyMaxIter, cfg.buddyBreakAt, Buddy)(Neighborhood.buddyOnce(_, cfg)))
     models.foreach { _ =>
       if (cfg.enabled.contains(SctFg))
-        b += SctFg -> (d => ModelChecks.sctFg(d, cfg))
+        b += StageDef(SctFg, selfRef = false, d => ModelChecks.sctFg(d, cfg))
     }
     if (cfg.enabled.contains(Sct))
-      b += Sct -> (d => iterate(d, cfg.sctMaxIter, cfg.sctBreakAt, Sct)(
-        Neighborhood.sctOnce(_, cfg)))
+      b += StageDef(Sct, selfRef = true, d =>
+        iterate(d, cfg.sctMaxIter, cfg.sctBreakAt, Sct)(Neighborhood.sctOnce(_, cfg)))
     if (cfg.enabled.contains(Isolation))
-      b += Isolation -> (d => Neighborhood.isolationOnce(d, cfg))
+      b += StageDef(Isolation, selfRef = true, d => Neighborhood.isolationOnce(d, cfg))
     b.result()
   }
 
-  /** Normalize + stamp lists + fold the enabled checks + final decision. */
+  /** Normalize + stamp lists + fold the enabled checks + final decision.
+    * The input of every self-join-shaped stage is materialized first
+    * (see StageDef) — the narrow row-local prefix between two such stages
+    * stays fused in one codegen span, and each stage's statistics pass
+    * reads the materialized blocks instead of recomputing the cascade
+    * prefix.
+    */
   def run(pages: DataFrame, cfg: CascadeConfig,
           models: Option[Models] = None,
           pseudoTexts: Seq[String] = Nil): DataFrame = {
     val prepared = Ingest.stampLists(Ingest.normalize(pages, cfg), cfg)
     val checked = stages(cfg, models, pseudoTexts)
-      .foldLeft(prepared) { case (d, (_, f)) => f(d) }
+      .foldLeft(prepared) { case (d, s) =>
+        s.f(if (s.selfRef) d.localCheckpoint(true) else d)
+      }
     finalDecision(checked)
   }
 

@@ -27,16 +27,16 @@ object ResumableCascade {
 
     // find the greatest stage index with a committed snapshot
     val lastDone = stages.indices.reverse
-      .find(i => TableIO.currentSnapshot(root, stageTable(i, stages(i)._1)).isDefined)
+      .find(i => TableIO.currentSnapshot(root, stageTable(i, stages(i).code)).isDefined)
 
     var df = lastDone match {
-      case Some(i) => TableIO.read(spark, root, stageTable(i, stages(i)._1))
+      case Some(i) => TableIO.read(spark, root, stageTable(i, stages(i).code))
       case None    => Ingest.stampLists(Ingest.normalize(pages, cfg), cfg)
     }
     val startAt = lastDone.map(_ + 1).getOrElse(0)
     for (i <- startAt until stages.length) {
-      val (code, f) = stages(i)
-      df = f(df)
+      val code = stages(i).code
+      df = stages(i).f(df)
       TableIO.write(df, root, stageTable(i, code))
       // re-read the committed snapshot: truncates lineage AND guarantees the
       // next stage consumes exactly what a restart would consume

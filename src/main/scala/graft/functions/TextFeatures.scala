@@ -103,4 +103,14 @@ object TextFeatures {
     * in Spark and DuckDB.
     */
   def fingerprint(t: Column): Column = md5(normalized(t))
+
+  /** Polynomial rolling hash over whitespace tokens, mod 1e9+7 — the
+    * incrementally-updatable document fingerprint (token stream folds left;
+    * each step stays < 2^63, so the arithmetic is exact in any engine).
+    */
+  def rollingHash(t: Column): Column =
+    aggregate(split(t, " "), lit(0L),
+      (acc, w) =>
+        (acc * lit(131L) + ascii(w).cast("long") * lit(31L) + length(w).cast("long"))
+          % lit(1000000007L))
 }

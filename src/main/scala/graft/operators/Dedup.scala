@@ -133,6 +133,21 @@ object Dedup {
     agg.select(col(idCol), hash.as("simhash"))
   }
 
+  /** Embedding-cosine near-dup dedup: LSH-bucketed candidate pairs
+    * confirmed by exact cosine (Similarity.annPairs), then greedy keeper
+    * selection — every id that appears as the larger member of a confirmed
+    * pair is dropped, so the minimum id of each near-dup cluster survives
+    * (the reference's duplicate_check keeps the first of near-coincident
+    * stations the same way, read_data_to_check.r:134-139). Anti join, no
+    * window, skew-safe.
+    */
+  def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
+                       nPlanes: Int = 8, threshold: Double = 0.9): DataFrame = {
+    val drops = Similarity.annPairs(df, vecCol, idCol, nPlanes, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup candidate pairs: equal-bucket join (id_a < id_b). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val h = simhash16(df, textCol, idCol)

@@ -68,6 +68,49 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) top-k: coarse-quantize every vector to its nearest
+    * centroid, probe only the query's `nProbe` closest centroid buckets,
+    * then exact cosine within the probed buckets — the classic
+    * IVF-Flat scale path (bucket equi-join replaces the full cross join;
+    * candidate count drops by ~nCentroids/nProbe).
+    *
+    * Centroids are the vectors with the `nCentroids` smallest ids —
+    * deterministic, broadcast-joined (a tiny dim table), no training step.
+    * Results are a recall<1 approximation of `cosineTopK` by construction;
+    * the OperatorSpec gate asserts recall against brute force.
+    */
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
+              queryIds: Seq[Long], k: Int,
+              nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val cents = df.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("_cv"))
+    // assignment: best centroid per vector (broadcast cross + window rank 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(desc("_ccos"), asc("cent_id"))
+    val assigned = df.crossJoin(broadcast(cents))
+      .withColumn("_ccos", cosine(col(vecCol), col("_cv")))
+      .withColumn("_r", row_number().over(w)).filter(col("_r") === 1)
+      .select(col(idCol), col(vecCol), col("cent_id"))
+    // queries probe their nProbe nearest centroids
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("_qcos"), asc("cent_id"))
+    val probes = df.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_qcos", cosine(col("_qv"), col("_cv")))
+      .withColumn("_r", row_number().over(wq)).filter(col("_r") <= nProbe)
+      .select(col("query_id"), col("_qv"), col("cent_id"))
+    // exact search within probed buckets only
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("cos"), asc(idCol))
+    assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cos", cosine(col("_qv"), col(vecCol)))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** Bucketed approximate near-duplicate pairs: same LSH bucket, then exact
     * cosine confirmation (id_a < id_b, cosine >= threshold).
     */

@@ -31,8 +31,8 @@ class CascadeSpec extends SparkSpec {
     val prepared = Ingest.stampLists(Ingest.normalize(Docs.pages(spark, sfDir), cfg), cfg)
     var prev = prepared.select(col("doc_id"), col(Cols.Dqc)).withColumnRenamed(Cols.Dqc, "prev")
     var cur = prepared
-    for ((code, f) <- Cascade.stages(cfg)) {
-      cur = f(cur)
+    for (s <- Cascade.stages(cfg)) {
+      cur = s.f(if (s.selfRef) cur.localCheckpoint(true) else cur)
       val joined = cur.select(col("doc_id"), col(Cols.Dqc)).join(prev, "doc_id")
       val overwritten = joined.filter(
         col("prev").isNotNull && (col(Cols.Dqc).isNull || col(Cols.Dqc) =!= col("prev")) &&
@@ -40,7 +40,7 @@ class CascadeSpec extends SparkSpec {
           !(col("prev") === FlagCodes.Keep &&
             col(Cols.Dqc).isin(FlagCodes.Metadata, FlagCodes.Plausibility))
       ).count()
-      assert(overwritten === 0, s"stage $code overwrote sticky flags")
+      assert(overwritten === 0, s"stage ${s.code} overwrote sticky flags")
       prev = cur.select(col("doc_id"), col(Cols.Dqc)).withColumnRenamed(Cols.Dqc, "prev")
     }
   }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.ml.Scrubber
 
 class OperatorSpec extends SparkSpec {
@@ -67,6 +67,73 @@ class OperatorSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(ann.subsetOf(brute))
     e.unpersist()
+  }
+
+  test("IVF top-k: high recall vs brute force, perfect when probing all buckets") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(300).cache()
+    val qs = Seq(0L, 1L, 2L)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = asSet(Similarity.cosineTopK(e, "embedding", "vec_id", qs, k = 5))
+    // probing every bucket must reproduce brute force exactly
+    val full = asSet(Similarity.ivfTopK(e, "embedding", "vec_id", qs, k = 5,
+      nCentroids = 4, nProbe = 4))
+    assert(full === brute)
+    // probing half the buckets keeps recall >= 0.6 on this corpus
+    val ivf = asSet(Similarity.ivfTopK(e, "embedding", "vec_id", qs, k = 5,
+      nCentroids = 4, nProbe = 2))
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+    e.unpersist()
+  }
+
+  test("embedding near-dup dedup keeps the min-id member of each pair") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
+    val pairs = Similarity.annPairs(e, "embedding", "vec_id", nPlanes = 4, threshold = 0.25)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val kept = Dedup.embeddingNearDup(e, "embedding", "vec_id", nPlanes = 4, threshold = 0.25)
+      .select("vec_id").as[Long].collect().toSet
+    val dropped = pairs.map(_._2).toSet
+    assert(kept.intersect(dropped).isEmpty)
+    assert(kept.size + dropped.size === e.count())
+  }
+
+  test("multimodal: format sniffing, frame sampling shape, stub embedding determinism") {
+    val bins = Seq(
+      (1L, Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++ Array.fill[Byte](80)(7)),
+      (2L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte) ++ Array.fill[Byte](80)(3)),
+      (3L, "RIFF1234WAVE".getBytes("UTF-8") ++ Array.fill[Byte](80)(1)),
+      (4L, Array[Byte](0, 0, 0, 0x18) ++ "ftypisom".getBytes("UTF-8") ++ Array.fill[Byte](80)(2))
+    ).toDF("id", "bin")
+    val fmts = bins.select(col("id"), Multimodal.sniffFormat(col("bin")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fmts === Map(1L -> "png", 2L -> "jpeg", 3L -> "riff", 4L -> "mp4"))
+
+    val frames = bins.select(col("id"),
+        explode(Multimodal.frameSample(col("bin"), 4, 32)).as("f"))
+      .select(col("id"), col("f.frame_no"), col("f.offset"), length(col("f.chunk")).as("len"))
+      .collect()
+    assert(frames.length === 16) // 4 docs x 4 frames
+    assert(frames.forall(_.getInt(3) === 32)) // full-width chunks, in-range offsets
+
+    val emb1 = Multimodal.mmFeatures(bins, "bin", "id").orderBy("id").collect()
+    val emb2 = Multimodal.mmFeatures(bins.repartition(7), "bin", "id").orderBy("id").collect()
+    assert(emb1.length === 4)
+    assert(emb1.map(_.getInt(1)).forall(_ === 4))
+    val v1 = emb1.map(_.getSeq[Double](2))
+    val v2 = emb2.map(_.getSeq[Double](2))
+    assert(v1.zip(v2).forall { case (a, b) => a == b }) // parallelism-invariant
+    assert(v1.forall(v => v.length == 8 && v.forall(x => x >= 0.0 && x < 1.0)))
+  }
+
+  test("rolling hash: stable, whitespace-token sensitive, bounded") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("id", "text")
+    val h = df.select(col("id"), graft.functions.TextFeatures.rollingHash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) === h(2L))
+    assert(h(1L) !== h(3L))
+    assert(h.values.forall(v => v >= 0 && v < 1000000007L))
   }
 
   test("scrub is idempotent and byte-exact on known PII") {

@@ -6,9 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for all suites (one JVM, one session). */
 object TestSpark {
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[8]")
     .appName("titanspark-test")
-    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
