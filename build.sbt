@@ -28,5 +28,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // legacy (non-ANSI) arithmetic: x/0 → NULL, matching the DuckDB oracle
   "-Dspark.sql.ansi.enabled=false",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

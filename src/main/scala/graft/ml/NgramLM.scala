@@ -77,7 +77,8 @@ object NgramLM {
     * the broadcastable model.
     */
   def train(spark: SparkSession, df: DataFrame, textCol: String,
-            order: Int = 3, seed: Int = 17, topK: Int = 200000): NgramLMModel = {
+            order: Int = 3, seed: Int = 17, topK: Int = 200000,
+            totalUni: Option[Long] = None): NgramLMModel = {
     import spark.implicits._
     val model0 = NgramLMModel(order, seed, Map.empty, 0L, 0L) // for key()
     val grams = df.select(col(textCol)).as[String]
@@ -97,9 +98,35 @@ object NgramLM {
 
     val counts = counted.map(r => r.getLong(0) -> r.getLong(1)).toMap
     val vocab = counted.count(_.getInt(2) == 1).toLong
-    val totalUni = df.select(col(textCol)).as[String].filter(_ != null)
+    val tu = totalUni.getOrElse(totalUnigrams(spark, df, textCol))
+    NgramLMModel(order, seed, counts, tu, vocab.max(1L))
+  }
+
+  /** One-pass corpus token total (shared across ensemble members). */
+  def totalUnigrams(spark: SparkSession, df: DataFrame, textCol: String): Long = {
+    import spark.implicits._
+    df.select(col(textCol)).as[String].filter(_ != null)
       .map(t => tokenize(t).length.toLong).reduce(_ + _)
-    NgramLMModel(order, seed, counts, totalUni, vocab.max(1L))
+  }
+
+  /** Per-language (mean, sd) perplexity backgrounds for ALL ensemble
+    * members in one scoring pass over the corpus (each text is tokenized
+    * once per member inside the same map).
+    */
+  def pplStatsAll(spark: SparkSession, df: DataFrame, textCol: String, langCol: String,
+                  models: Seq[NgramLMModel]): Seq[Map[String, (Double, Double)]] = {
+    import spark.implicits._
+    val ms = models // serializable closure capture
+    val scored = df.select(col(langCol).as[String], col(textCol).as[String])
+      .map { case (lang, text) => (lang, ms.map(_.logPerplexity(text))) }
+      .toDF("lang", "ppls")
+    val aggs = models.indices.flatMap(i => Seq(
+      avg(col("ppls").getItem(i)).as(s"m$i"),
+      coalesce(stddev_samp(col("ppls").getItem(i)), lit(0.0)).as(s"s$i")))
+    val rows = scored.groupBy("lang").agg(aggs.head, aggs.tail: _*).collect()
+    models.indices.map { i =>
+      rows.map(r => r.getString(0) -> (r.getDouble(1 + 2 * i), r.getDouble(2 + 2 * i))).toMap
+    }
   }
 
   /** Per-language (mean, sd) of log-perplexity over a training frame — the

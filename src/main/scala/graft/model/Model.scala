@@ -94,7 +94,10 @@ final case class CascadeConfig(
     langStopMin: Map[String, Double] = Map("en" -> 0.05),
     // lang mismatch (902)
     langMismatchMinConf: Double = 0.10,
-    // buddy (10)
+    // buddy (10) — neighborhood key defaults to the provider (domain); a
+    // cross-provider key (e.g. lang) makes priority rounds meaningful, as
+    // in the reference where providers share the spatial neighborhoods
+    buddyKeys: Seq[String] = Seq("domain"),
     buddyMinN: Int = 5,
     buddyZ: Double = 2.5,
     buddyMaxIter: Int = 1,

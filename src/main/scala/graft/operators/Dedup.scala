@@ -29,17 +29,23 @@ object Dedup {
     withFp.join(keepers, Seq("_fp", idCol), "left_semi").drop("_fp")
   }
 
-  /** Distinct word n-gram shingles per doc: (id, shingle). */
+  /** Distinct word n-gram shingles per doc: (id, shingle). The token array
+    * is bound to its own projection first: a lambda that referenced the
+    * `split` expression directly would re-evaluate it once per element
+    * (higher-order functions get no common-subexpression elimination),
+    * turning an O(words) explode into O(words²) string splitting.
+    */
   def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val words = split(col(textCol), " ")
+    val w = col("_w")
     // sliding n-grams via transform over 0-based start indices; guarded so
     // a doc shorter than n words yields an empty list (Spark's `sequence`
     // would otherwise generate a DESCENDING range)
-    val grams = when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), explode(array_distinct(grams)).as("shingle"))
+    df.select(col(idCol), split(col(textCol), " ").as("_w"))
+      .select(col(idCol), explode(array_distinct(grams)).as("shingle"))
   }
 
   /** Candidate near-dup pairs with exact n-gram Jaccard >= threshold.
@@ -49,7 +55,10 @@ object Dedup {
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, threshold: Double = 0.6,
                    maxShingleDf: Int = 1000): DataFrame = {
-    val sh = shingles(df, textCol, idCol, n)
+    // materialize the shingle frame once (lazy local checkpoint): it feeds
+    // the df-cap aggregate, both self-join sides, and the cardinalities —
+    // four scans that would otherwise each re-run the explode
+    val sh = shingles(df, textCol, idCol, n).localCheckpoint(false)
     val pruned = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
         .filter(col("_df") <= maxShingleDf).select("shingle"),
@@ -91,18 +100,21 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    // Materialize the signature once (lazy local checkpoint: computed at the
+    // first action, reused by both join sides), then explode all band keys
+    // in ONE pass and bucket-join once on (band, key) — the per-band-join
+    // form recomputed the whole shingle aggregation 2×bands times.
     val sig = minhashSignature(df, textCol, idCol, n, bands * rowsPerBand)
-    val bandPairs = (0 until bands).map { b =>
-      val key = concat_ws("#",
-        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
-      val keyed = sig.select(col(idCol), key.as("bkey"))
-        .withColumn("band", lit(b))
-      val l = keyed.select(col("band"), col("bkey"), col(idCol).as("id_a"))
-      val r = keyed.select(col("band"), col("bkey"), col(idCol).as("id_b"))
-      l.join(r, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
+      .localCheckpoint(false)
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws("#", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
     }
-    bandPairs.reduce(_ unionByName _).distinct()
+    val keyed = sig.select(col(idCol),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val l = keyed.select(col("band"), col("bkey"), col(idCol).as("id_a"))
+    val r = keyed.select(col("band"), col("bkey"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
   }
 
   /** Portable 16-bit SimHash over whitespace tokens: each token's md5 first

@@ -33,11 +33,14 @@ object Similarity {
     */
   def cosineTopK(df: DataFrame, vecCol: String, idCol: String,
                  queryIds: Seq[Long], k: Int): DataFrame = {
-    val queries = df.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-    val scored = df.crossJoin(broadcast(queries))
+    // precompute each side's norm once: inlining cosine() would evaluate
+    // three 64-dim folds per comparison and triple the expression tree
+    val corpus = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("_nv"))
+    val queries = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"), col("_nv").as("_qn"))
+    val scored = corpus.crossJoin(broadcast(queries))
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("cos", cosine(col("_qv"), col(vecCol)))
+      .withColumn("cos", dot(col("_qv"), col(vecCol)) / (col("_qn") * col("_nv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(desc("cos"), asc(idCol))
@@ -82,30 +85,32 @@ object Similarity {
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
               queryIds: Seq[Long], k: Int,
               nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
-    val cents = df.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("_cv"))
+    // norms precomputed once per side (see cosineTopK)
+    val base = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("_nv"))
+    val cents = base.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("_cv"), col("_nv").as("_cn"))
     // assignment: best centroid per vector (broadcast cross + window rank 1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(desc("_ccos"), asc("cent_id"))
-    val assigned = df.crossJoin(broadcast(cents))
-      .withColumn("_ccos", cosine(col(vecCol), col("_cv")))
+    val assigned = base.crossJoin(broadcast(cents))
+      .withColumn("_ccos", dot(col(vecCol), col("_cv")) / (col("_nv") * col("_cn")))
       .withColumn("_r", row_number().over(w)).filter(col("_r") === 1)
-      .select(col(idCol), col(vecCol), col("cent_id"))
+      .select(col(idCol), col(vecCol), col("_nv"), col("cent_id"))
     // queries probe their nProbe nearest centroids
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(desc("_qcos"), asc("cent_id"))
-    val probes = df.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val probes = base.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"), col("_nv").as("_qn"))
       .crossJoin(broadcast(cents))
-      .withColumn("_qcos", cosine(col("_qv"), col("_cv")))
+      .withColumn("_qcos", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
       .withColumn("_r", row_number().over(wq)).filter(col("_r") <= nProbe)
-      .select(col("query_id"), col("_qv"), col("cent_id"))
+      .select(col("query_id"), col("_qv"), col("_qn"), col("cent_id"))
     // exact search within probed buckets only
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(desc("cos"), asc(idCol))
     assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("cos", cosine(col("_qv"), col(vecCol)))
+      .withColumn("cos", dot(col("_qv"), col(vecCol)) / (col("_qn") * col("_nv")))
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("cos"), col("rank"))
@@ -116,13 +121,16 @@ object Similarity {
     */
   def annPairs(df: DataFrame, vecCol: String, idCol: String,
                nPlanes: Int = 8, threshold: Double = 0.9): DataFrame = {
-    val bucketed = df.select(col(idCol), col(vecCol))
+    val bucketed = df.select(col(idCol), col(vecCol),
+        norm(col(vecCol)).as("_nv"))
       .withColumn("bucket", lshBucket(col(vecCol), nPlanes))
-    val l = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("_va"))
-    val r = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    val l = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("_va"), col("_nv").as("_na"))
+    val r = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("_vb"), col("_nv").as("_nb"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("_va"), col("_vb")))
+      .withColumn("cos", dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "bucket", "cos")
   }

@@ -23,15 +23,23 @@ object Models {
   /** Train the full model set from a trusted corpus: a 3-member LM ensemble
     * (different orders/hash seeds — TITAN ensemble members) each with its
     * per-language perplexity background, plus the char-n-gram langid.
+    * The training frame is cached for the duration (it is scanned by each
+    * member's gram pass and the stats pass), the unigram total is computed
+    * once and shared, and all members' perplexity backgrounds come from a
+    * single scoring pass.
     */
   def train(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
             textCol: String = "text", langCol: String = "lang"): Models = {
-    val lms = Seq(
-      NgramLM.train(spark, df, textCol, order = 3, seed = 17),
-      NgramLM.train(spark, df, textCol, order = 3, seed = 101),
-      NgramLM.train(spark, df, textCol, order = 2, seed = 7))
-    val stats = lms.map(NgramLM.pplStats(spark, df, textCol, langCol, _))
-    Models(LangId.default, lms, stats)
+    val cached = df.select(col(textCol), col(langCol)).persist()
+    try {
+      val totalUni = NgramLM.totalUnigrams(spark, cached, textCol)
+      val lms = Seq(
+        NgramLM.train(spark, cached, textCol, order = 3, seed = 17, totalUni = Some(totalUni)),
+        NgramLM.train(spark, cached, textCol, order = 3, seed = 101, totalUni = Some(totalUni)),
+        NgramLM.train(spark, cached, textCol, order = 2, seed = 7, totalUni = Some(totalUni)))
+      val stats = NgramLM.pplStatsAll(spark, cached, textCol, langCol, lms)
+      Models(LangId.default, lms, stats)
+    } finally cached.unpersist()
   }
 }
 
@@ -48,15 +56,18 @@ object ModelChecks {
     * and reuses them across checks, sct_fg_resistant.r:197,227-267).
     */
   def withModelFeatures(df: DataFrame, models: Models): DataFrame = {
-    val langId = models.langId
-    val detUdf = udf((t: String) => langId.detect(t))
+    // explicit broadcast: the LM count maps are MBs — shipping them once
+    // per executor (KenLM-style) instead of inside every stage's task
+    // binary is the difference between OK and dead at 1000 executors
+    val bc = df.sparkSession.sparkContext.broadcast(models)
+    val detUdf = udf((t: String) => bc.value.langId.detect(t))
     var out = df
       .withColumn("_det", detUdf(col(Text)))
       .withColumn(DetLang, col("_det._1"))
       .withColumn(DetLangConf, col("_det._2"))
       .drop("_det")
-    models.lms.zipWithIndex.foreach { case (lm, i) =>
-      val pplUdf = udf((t: String) => lm.logPerplexity(t))
+    models.lms.indices.foreach { i =>
+      val pplUdf = udf((t: String) => bc.value.lms(i).logPerplexity(t))
       out = out.withColumn(s"$LogPpl$i", pplUdf(col(Text)))
     }
     out.withColumn(LogPpl, col(s"${LogPpl}0"))

@@ -71,8 +71,8 @@ object Neighborhood {
       case Some(p) => Stage.referenceEligible && col(Prio) >= p
       case None    => Stage.referenceEligible
     }
-    val stats = groupStats(df, col(NWords), cfg, refFilter)
-    val joined = df.join(broadcast(stats), Seq(Domain), "left")
+    val stats = groupStats(df, col(NWords), cfg, refFilter, keys = cfg.buddyKeys)
+    val joined = df.join(broadcast(stats), cfg.buddyKeys, "left")
 
     val x    = col(NWords).cast("long")
     val nn   = (col("_n") - lit(1)).cast("double")            // leave-one-out count

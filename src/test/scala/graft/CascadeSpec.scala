@@ -70,6 +70,36 @@ class CascadeSpec extends SparkSpec {
     assert(src2Flagged === 0)
   }
 
+  test("priority rounds: higher-priority providers are judged only by their own class") {
+    // Two providers sharing one neighborhood (buddy key = lang, as providers
+    // share spatial circles in the reference, buddy.r:112-155): a dense
+    // trusted provider A (prio 1) and a sparse wild provider B (prio 0).
+    import spark.implicits._
+    val rows =
+      (1 to 20).map(i => (s"https://a.example/$i", "a.example", "en", 100 + (i % 5))) ++
+      (1 to 2).map(i => (s"https://b.example/$i", "b.example", "en", 400))
+    val df = rows.toDF("url", "domain", "lang", "nw")
+      .withColumn("text", concat_ws(" ", transform(sequence(lit(1), col("nw")), _ => lit("w"))))
+      .select("url", "domain", "lang", "text")
+    val base = cfg.copy(buddyKeys = Seq("lang"), buddyZ = 2.5, buddyMinN = 3,
+      enabled = Set(FlagCodes.Buddy), blacklistDomains = Set.empty, keepDomains = Set.empty)
+
+    // A first (prio 1): A judged against A only (consistent), then B judged
+    // against everything alive — B's outliers get flagged.
+    val out1 = Cascade.run(df, base.copy(priorities = Map("a.example" -> 1)))
+    assert(out1.filter(col(Cols.Domain) === "b.example" &&
+      col(Cols.Dqc) === FlagCodes.Buddy).count() === 2)
+    assert(out1.filter(col(Cols.Domain) === "a.example" &&
+      col(Cols.Dqc) === FlagCodes.Buddy).count() === 0)
+
+    // B first (prio 1): B judged only by its own tiny class (below buddyMinN,
+    // unjudgeable), then A judged against the B-contaminated pool — nothing
+    // clears the z threshold. Order of judgement changes the verdict, which
+    // is exactly the reference's priority semantics.
+    val out2 = Cascade.run(df, base.copy(priorities = Map("b.example" -> 1)))
+    assert(out2.filter(col(Cols.Dqc) === FlagCodes.Buddy).count() === 0)
+  }
+
   test("final decision is total and keep = (dqc in {0, 990})") {
     val out = Cascade.run(Docs.pages(spark, sfDir), cfg)
     val bad = out.filter(
