@@ -35,7 +35,8 @@ object ScalingBench {
   }
 
   def cascadeJob(spark: SparkSession, path: String, models: Models): Long = {
-    val pages = spark.read.parquet(path)
+    // exactly the input_hint relation: (url, warc_ts, html, text, lang)
+    val pages = spark.read.parquet(path).select("url", "warc_ts", "html", "text", "lang")
     val labeled = Cascade.run(pages, PagesGen.matchingConfig, Some(models), PagesGen.exemplarTexts())
     // count(keep) forces the full pipeline; no result materialization cost
     labeled.filter(org.apache.spark.sql.functions.col("keep")).count()
@@ -54,13 +55,16 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 200000L
     val outJson = if (args.length > 1) Some(args(1)) else None
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
 
-    // materialize the identical input once (32-way for generation speed)
+    // materialize the identical input once (32-way for generation speed);
+    // a small warm-up slice compiles codegen/JIT without paying a full pass
     val gen = session(32)
     val dir = Files.createTempDirectory("scalingbench").toString
     val corpusPath = s"$dir/pages.parquet"
+    val warmupPath = s"$dir/warmup.parquet"
     PagesGen.generate(gen, nDocs).write.parquet(corpusPath)
+    PagesGen.generate(gen, math.min(nDocs, 100000L)).write.parquet(warmupPath)
     val models = Models.train(gen,
       PagesGen.generateWithClass(gen, 10000L)
         .filter(org.apache.spark.sql.functions.col("clazz") === "clean")
@@ -69,7 +73,7 @@ object ScalingBench {
 
     val results = Seq(8, 32).map { cores =>
       val s = session(cores)
-      cascadeJob(s, corpusPath, models) // warm-up (JIT, parquet footer cache)
+      cascadeJob(s, warmupPath, models) // warm-up (JIT, codegen, footer cache)
       val best = timeBest(reps)(cascadeJob(s, corpusPath, models))
       s.stop()
       cores -> best

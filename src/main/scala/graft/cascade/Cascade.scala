@@ -77,6 +77,9 @@ object Cascade {
       b += StageDef(Good, selfRef = false, d => ModelChecks.withModelFeatures(d, m)))
     if (cfg.enabled.contains(CrossField))
       b += StageDef(CrossField, selfRef = false, d => RowChecks.crossField.transform(d, cfg))
+    // html is consumed only by the backfill and the cross-field check;
+    // dropping it here halves the bytes later stage checkpoints materialize
+    b += StageDef(Good, selfRef = false, d => d.drop(Cols.Html))
     if (cfg.enabled.contains(LangMismatch))
       b += StageDef(LangMismatch, selfRef = false, d => models match {
         case Some(_) => ModelChecks.langMismatch(d, cfg)
@@ -122,7 +125,10 @@ object Cascade {
     val prepared = Ingest.stampLists(Ingest.normalize(pages, cfg), cfg)
     val checked = stages(cfg, models, pseudoTexts)
       .foldLeft(prepared) { case (d, s) =>
-        s.f(if (s.selfRef) d.localCheckpoint(true) else d)
+        // lazy local checkpoint: replaces the logical plan with a leaf NOW
+        // (so the stage's two scans share one computation) but materializes
+        // inside the stage's first job instead of a separate pass
+        s.f(if (s.selfRef) d.localCheckpoint(false) else d)
       }
     finalDecision(checked)
   }

@@ -94,6 +94,38 @@ object TextFeatures {
   /** Fraction of characters that are ASCII digits. */
   def digitRatio(t: Column): Column = safeDiv(nDigits(t), nChars(t))
 
+  // ---- single-pass variants over the TextStatsExpr struct ----
+  // Numerically identical to the formulas above (see TextStatsExpr's parity
+  // contract); the struct is computed once per row by one native expression
+  // and the features become integer arithmetic on its fields.
+
+  /** The five char-class counts in one native pass (struct column). */
+  def textStats(t: Column): Column =
+    org.apache.spark.sql.GraftColumns.of(
+      TextStatsExpr(org.apache.spark.sql.GraftColumns.exprOf(t)))
+
+  /** nWords from stats: blank text (only spaces) has 0 words. */
+  def nWordsOf(st: Column): Column =
+    when(st("nchars") === st("nspaces"), lit(0)).otherwise(st("nspaces") + lit(1))
+
+  def meanWordLenOf(st: Column): Column =
+    safeDiv(st("nchars") - st("nspaces"), nWordsOf(st))
+
+  def symbolRatioOf(st: Column): Column =
+    safeDiv(st("nchars") - st("nalpha") - st("ndigits") - st("nspaces") - st("nlines"),
+      st("nchars"))
+
+  def digitRatioOf(st: Column): Column = safeDiv(st("ndigits"), st("nchars"))
+
+  /** Stopword ratio with the word count supplied (avoids recomputing it). */
+  def stopwordRatioOver(t: Column, stopwords: Seq[String], nw: Column): Column = {
+    val hits = stopwords.map(w => wordOccurrences(t, w)).reduce(_ + _)
+    when(nw > 0, hits / nw.cast("double"))
+  }
+
+  def distinctWordRatioOver(t: Column, nw: Column): Column =
+    when(nw > 0, size(array_distinct(split(t, " "))).cast("double") / nw.cast("double"))
+
   /** Canonical whitespace-normalized form used for fingerprinting. */
   def normalized(t: Column): Column =
     lower(trim(regexp_replace(t, "[ \\t\\n\\r]+", " ")))

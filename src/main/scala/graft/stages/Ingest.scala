@@ -56,17 +56,29 @@ object Ingest {
     features(df)
   }
 
-  /** The one-time derived-feature projection every check reuses. */
-  def features(df: DataFrame): DataFrame = {
+  /** The one-time derived-feature projection every check reuses. The five
+    * char-class counts come from ONE native single-pass expression
+    * (TextStatsExpr); everything else is arithmetic over its fields, so the
+    * whole feature pass costs one byte scan + one tokenization per row.
+    */
+  def features(df: DataFrame): DataFrame =
+    derive(df.withColumn(Stats, TextFeatures.textStats(col(Text))))
+
+  /** Scalar features from an existing stats struct (cheap; re-run after any
+    * text rewrite that refreshed the struct, e.g. the backfill).
+    */
+  def derive(df: DataFrame): DataFrame = {
     val t = col(Text)
+    val st = col(Stats)
+    val nw = TextFeatures.nWordsOf(st)
     df
-      .withColumn(NChars, TextFeatures.nChars(t))
-      .withColumn(NWords, TextFeatures.nWords(t))
-      .withColumn(MeanWordLen, TextFeatures.meanWordLen(t))
-      .withColumn(SymbolRatio, TextFeatures.symbolRatio(t))
-      .withColumn(StopRatio, TextFeatures.stopwordRatio(t, EnStopwords))
-      .withColumn(DistinctWordRatio, TextFeatures.distinctWordRatio(t))
-      .withColumn(DigitRatio, TextFeatures.digitRatio(t))
+      .withColumn(NChars, st("nchars"))
+      .withColumn(NWords, nw)
+      .withColumn(MeanWordLen, TextFeatures.meanWordLenOf(st))
+      .withColumn(SymbolRatio, TextFeatures.symbolRatioOf(st))
+      .withColumn(StopRatio, TextFeatures.stopwordRatioOver(t, EnStopwords, col(NWords)))
+      .withColumn(DistinctWordRatio, TextFeatures.distinctWordRatioOver(t, col(NWords)))
+      .withColumn(DigitRatio, TextFeatures.digitRatioOf(st))
   }
 
   /** Blacklist (999) then keeplist (990) stamps — blacklist wins, keep only

@@ -55,11 +55,23 @@ object ModelChecks {
     * columns once (the reference computes fg values at obs locations once
     * and reuses them across checks, sct_fg_resistant.r:197,227-267).
     */
+  /** Broadcast handles memoized per (context, model set): re-serializing
+    * the multi-MB LM maps on every pipeline construction would put a fixed
+    * driver-side cost on each run.
+    */
+  private val bcCache = scala.collection.mutable.HashMap
+    .empty[(String, Models), org.apache.spark.broadcast.Broadcast[Models]]
+
+  private def broadcastOf(df: DataFrame, models: Models) = bcCache.synchronized {
+    val sc = df.sparkSession.sparkContext
+    bcCache.getOrElseUpdate((sc.applicationId, models), sc.broadcast(models))
+  }
+
   def withModelFeatures(df: DataFrame, models: Models): DataFrame = {
     // explicit broadcast: the LM count maps are MBs — shipping them once
     // per executor (KenLM-style) instead of inside every stage's task
     // binary is the difference between OK and dead at 1000 executors
-    val bc = df.sparkSession.sparkContext.broadcast(models)
+    val bc = broadcastOf(df, models)
     val detUdf = udf((t: String) => bc.value.langId.detect(t))
     var out = df
       .withColumn("_det", detUdf(col(Text)))
@@ -164,8 +176,13 @@ object ModelChecks {
       .withColumn("_recov", recoverable)
       .withColumn(Text, when(col("_recov"), Scrubber.extractText(col(Html))).otherwise(col(Text)))
       .withColumn(Dqc, when(col("_recov"), lit(null).cast("int")).otherwise(col(Dqc)))
+      // refresh the stats struct only where text actually changed; the
+      // scalar features re-derive cheaply from it for every row
+      .withColumn(Cols.Stats,
+        when(col("_recov"), graft.functions.TextFeatures.textStats(col(Text)))
+          .otherwise(col(Cols.Stats)))
       .drop("_recov")
-    RowChecks.metadata.transform(Ingest.features(filled), cfg)
+    RowChecks.metadata.transform(Ingest.derive(filled), cfg)
   }
 
   /** Scrub stage (windcorr analog, rr_windcorr.r:194-208): rewrite

@@ -18,6 +18,7 @@ object Cols {
   val KeepCol= "keep"   // final boolean decision
 
   // derived feature columns (computed once, spatconv-style)
+  val Stats  = "f_stats" // single-pass char-class counts (TextStatsExpr)
   val NChars = "f_nchars"
   val NWords = "f_nwords"
   val MeanWordLen = "f_mwl"
