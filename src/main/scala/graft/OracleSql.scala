@@ -86,14 +86,53 @@ object OracleSql {
        |  abs((CAST(nw AS DOUBLE) - mean) / sd) > ${c.buddyZ} THEN 10 END AS dqc
        |FROM v ORDER BY doc_id""".stripMargin
 
+  /** Central-order-statistic machinery mirroring Neighborhood.sctOnce: the
+    * three values at 0-based ranks L, L+1, L+2 (L = floor((n−2)/2)) of
+    * column `v` per `key` group over `src` (null v excluded) — enough for
+    * the interpolated population median AND the per-row leave-one-out
+    * median. `p` prefixes the generated CTE names.
+    */
+  private def orderStatsCtes(p: String, src: String, key: String, v: String,
+                             where: String = "TRUE"): String =
+    s"""${p}w AS (SELECT $key, $v AS _v,
+       |  row_number() OVER (PARTITION BY $key ORDER BY $v) - 1 AS rk
+       |  FROM $src WHERE ($where) AND $v IS NOT NULL),
+       |${p}c AS (SELECT $key, COUNT(*) AS n FROM ${p}w GROUP BY $key),
+       |${p}o AS (SELECT ${p}w.$key,
+       |  MAX(CASE WHEN rk = CAST(floor((n - 2) / 2.0) AS BIGINT) THEN _v END) AS m0,
+       |  MAX(CASE WHEN rk = CAST(floor((n - 2) / 2.0) AS BIGINT) + 1 THEN _v END) AS m1,
+       |  MAX(CASE WHEN rk = CAST(floor((n - 2) / 2.0) AS BIGINT) + 2 THEN _v END) AS m2,
+       |  ANY_VALUE(n) AS n
+       |  FROM ${p}w JOIN ${p}c USING ($key) GROUP BY ${p}w.$key)""".stripMargin
+
+  /** Leave-one-out median of the group after removing one occurrence of x
+    * (see Neighborhood.sctOnce for the derivation). */
+  private def looMedSql(x: String, m0: String, m1: String, m2: String, n: String): String =
+    s"""(CASE WHEN $n % 2 = 0
+       |  THEN CASE WHEN $x <= $m0 THEN CAST($m1 AS DOUBLE) ELSE CAST($m0 AS DOUBLE) END
+       |  ELSE CASE WHEN $x <= $m0 THEN CAST($m1 + $m2 AS DOUBLE) / 2.0
+       |            WHEN $x >= $m2 THEN CAST($m0 + $m1 AS DOUBLE) / 2.0
+       |            ELSE CAST($m0 + $m2 AS DOUBLE) / 2.0 END END)""".stripMargin
+      .replaceAll("\n", " ")
+
+  /** 2·populationMedian (integral): ranks ⌊(n−1)/2⌋,⌊n/2⌋ = (m0,m1) for even
+    * n, (m1,m1) for odd. */
+  private def popMedSumSql(m0: String, m1: String, n: String): String =
+    s"(CASE WHEN $n % 2 = 0 THEN $m0 + $m1 ELSE $m1 + $m1 END)"
+
   def qSct(c: CascadeConfig): String =
-    s"""WITH f AS (SELECT doc_id, source, CAST($nw AS DOUBLE) AS x FROM documents),
-       |m AS (SELECT source, quantile_cont(x, 0.5) AS med, COUNT(x) AS n FROM f GROUP BY source),
-       |d AS (SELECT f.doc_id, f.source, f.x, m.med, m.n, abs(f.x - m.med) AS dev
-       |      FROM f LEFT JOIN m USING (source)),
-       |md AS (SELECT source, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY source)
-       |SELECT doc_id, CASE WHEN n >= ${c.sctMinN} AND mad > 0.0 AND
-       |  dev / (1.4826 * mad) > ${c.sctZ} THEN 1 END AS dqc
+    s"""WITH f AS (SELECT doc_id, source, CAST($nw AS BIGINT) AS x FROM documents),
+       |${orderStatsCtes("s", "f", "source", "x")},
+       |j AS (SELECT f.doc_id, f.source, f.x, so.n,
+       |  ${popMedSumSql("so.m0", "so.m1", "so.n")} AS pms,
+       |  ${looMedSql("f.x", "so.m0", "so.m1", "so.m2", "so.n")} AS loomed
+       |  FROM f LEFT JOIN so USING (source)),
+       |d AS (SELECT doc_id, source, x, n, loomed, abs(x * 2 - pms) AS d2 FROM j),
+       |${orderStatsCtes("dd", "d", "source", "d2")},
+       |md AS (SELECT source,
+       |  CAST(${popMedSumSql("m0", "m1", "n")} AS DOUBLE) / 4.0 AS mad FROM ddo)
+       |SELECT doc_id, CASE WHEN n - 1 >= ${c.sctMinN} AND mad > 0.0 AND
+       |  abs(CAST(x AS DOUBLE) - loomed) / (1.4826 * mad) > ${c.sctZ} THEN 1 END AS dqc
        |FROM d LEFT JOIN md USING (source) ORDER BY doc_id""".stripMargin
 
   def qDual(c: CascadeConfig): String =
@@ -169,6 +208,122 @@ object OracleSql {
        |nib AS (SELECT doc_id, $nibs FROM tok),
        |s AS (SELECT doc_id, $sums FROM nib GROUP BY doc_id)
        |SELECT doc_id, ($hash) AS simhash FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private def hexNibCase(str: String, pos: Int): String =
+    "0123456789abcdef".zipWithIndex
+      .map { case (c, v) => s"WHEN '$c' THEN $v" }
+      .mkString(s"(CASE substring($str, $pos, 1) ", " ", " ELSE 0 END)")
+
+  /** Shared 64-bit SimHash signature CTEs (mirrors Dedup.simhash64): per
+    * doc, four 16-bit words sh0..sh3 from the first 16 nibbles of each
+    * token's md5. Emits CTEs tok64/nib64/s64/sig64.
+    */
+  val simhash64Ctes: String = {
+    val nibs = (0 until 16).map(j => s"${hexNibCase("h", j + 1)} AS nib$j").mkString(", ")
+    val sums = (0 until 64).map { b =>
+      val div = 1 << (b % 4)
+      s"CAST(SUM((CAST(floor(nib${b / 4} / $div) AS INT) % 2) * 2 - 1) AS BIGINT) AS s$b"
+    }.mkString(", ")
+    val words = (0 until 4).map { j =>
+      (0 until 16)
+        .map(b0 => s"CASE WHEN s${16 * j + b0} > 0 THEN ${1 << b0} ELSE 0 END")
+        .mkString("(", " + ", s") AS sh$j")
+    }.mkString(", ")
+    s"""tok64 AS (SELECT doc_id, md5(w) AS h FROM
+       |  (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0),
+       |nib64 AS (SELECT doc_id, $nibs FROM tok64),
+       |s64 AS (SELECT doc_id, $sums FROM nib64 GROUP BY doc_id),
+       |sig64 AS (SELECT doc_id, $words FROM s64)""".stripMargin
+  }
+
+  def qSimhash64: String =
+    s"""WITH $simhash64Ctes
+       |SELECT doc_id, sh0, sh1, sh2, sh3 FROM sig64 ORDER BY doc_id""".stripMargin
+
+  def qSimhashPairs64(maxHamming: Int): String = {
+    val bandJoins = (0 until 4).map(j =>
+      s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig64 a JOIN sig64 b ON a.sh$j = b.sh$j WHERE a.doc_id < b.doc_id"
+    ).mkString(" UNION ALL ")
+    val ham = (0 until 4).map(j => s"bit_count(xor(sa.sh$j, sb.sh$j))").mkString(" + ")
+    s"""WITH $simhash64Ctes,
+       |cands AS (SELECT DISTINCT id_a, id_b FROM ($bandJoins)),
+       |h AS (SELECT id_a, id_b, CAST(($ham) AS INT) AS hamming
+       |      FROM cands JOIN sig64 sa ON sa.doc_id = id_a JOIN sig64 sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, hamming FROM h WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Cross-field (301) oracle: html synthesized per doc_id to disagree with
+    * text on a deterministic subset (mirrors the q_check_crossfield query's
+    * html override; octet_length(BLOB) = Spark's length(binary)).
+    */
+  def qCrossField: String =
+    s"""WITH m AS (SELECT doc_id, text,
+       |  CASE WHEN doc_id % 3 = 0
+       |       THEN encode(substr(text, 1, CAST(doc_id % 120 AS INT)))
+       |       ELSE encode(text) END AS html
+       |  FROM documents)
+       |SELECT doc_id, CASE WHEN html IS NOT NULL AND octet_length(html) > 0 AND
+       |  (text IS NULL OR length(text) > octet_length(html)) THEN 301 END AS dqc
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Multimodal stub embedding (mirrors Multimodal.mmFeatures over the
+    * synthetic payload): per frame f and dim i, the feature is the first 4
+    * md5 nibbles of (i || '#' || md5(chunk_hex)) over 65536; the document
+    * embedding is the per-dim mean over the 4 frames. Every value is a
+    * dyadic rational (k/2^16 summed then /4), so addition order is
+    * irrelevant and the comparison is bit-exact.
+    */
+  def qMmEmbed(n: Int = 4, frameBytes: Int = 32, dims: Int = 8): String = {
+    val nibVal = (0 until 4).map(p => s"${hexNibCase("dh", p + 1)} * ${1 << (4 * (3 - p))}")
+      .mkString("(", " + ", ")")
+    val pivots = (0 until dims)
+      .map(i => s"MAX(CASE WHEN i = $i THEN e END) AS emb_$i").mkString(", ")
+    s"""WITH m AS (SELECT doc_id, $mmHex AS h FROM documents),
+       |f AS (SELECT doc_id, h, unnest(range(0, $n)) AS frame_no FROM m),
+       |o AS (SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+       |  CAST((frame_no * greatest(length(h) // 2 - $frameBytes, 0)) // ${n - 1} AS INT) AS "offset", h
+       |  FROM f),
+       |fr AS (SELECT doc_id, frame_no,
+       |  md5(substr(h, "offset" * 2 + 1, ${frameBytes * 2})) AS cfp FROM o),
+       |d AS (SELECT doc_id, frame_no, i,
+       |  md5(CAST(i AS VARCHAR) || '#' || cfp) AS dh
+       |  FROM fr CROSS JOIN (SELECT unnest(range(0, $dims)) AS i)),
+       |v AS (SELECT doc_id, i, CAST($nibVal AS DOUBLE) / 65536.0 AS x FROM d),
+       |e AS (SELECT doc_id, i, SUM(x) / $n.0 AS e FROM v GROUP BY doc_id, i)
+       |SELECT doc_id, CAST($n AS INT) AS n_frames, $pivots
+       |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Windcorr-style adjusted~raw regression report (mirrors
+    * ModelChecks.scrubReport over the q_scrub synthetic PII suffix).
+    */
+  def qScrubReport: String = {
+    val raw = "text || ' user' || doc_id || '@mail.example 555-123-4567 123-45-6789'"
+    val scr = s"""regexp_replace(regexp_replace(regexp_replace(
+      |    $raw,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+      |    '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g')""".stripMargin
+    s"""WITH l AS (SELECT source AS domain,
+       |  CAST(length($raw) AS BIGINT) AS x,
+       |  CAST(length($scr) AS BIGINT) AS y
+       |  FROM documents),
+       |a AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+       |  FROM l GROUP BY domain)
+       |SELECT domain, n_docs,
+       |  CASE WHEN CAST(n_docs * sxx - sx * sx AS DOUBLE) <> 0.0
+       |       THEN CAST(n_docs * sxy - sx * sy AS DOUBLE) /
+       |            CAST(n_docs * sxx - sx * sx AS DOUBLE) END AS slope,
+       |  CASE WHEN CAST(n_docs * sxx - sx * sx AS DOUBLE) <> 0.0
+       |       THEN (CAST(sy AS DOUBLE) -
+       |             (CAST(n_docs * sxy - sx * sy AS DOUBLE) /
+       |              CAST(n_docs * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) /
+       |            CAST(n_docs AS DOUBLE) END AS intercept
+       |FROM a ORDER BY domain""".stripMargin
   }
 
   /** Sequential-fold dot product (mirrors Similarity.dot exactly). */
@@ -265,7 +420,7 @@ object OracleSql {
     */
   def qIvfTopK(queryIds: Seq[Long], k: Int, nCentroids: Int, nProbe: Int): String =
     s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
-       |               ORDER BY vec_id LIMIT $nCentroids),
+       |               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCentroids),
        |a0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
        |         ${sqlCosine("e.embedding", "c.cv")} AS ccos
        |       FROM embeddings e CROSS JOIN cents c),
@@ -369,20 +524,21 @@ object OracleSql {
        |      abs((CAST(nw AS DOUBLE) - mean) / sd) > ${c.buddyZ}
        |    THEN 10 ELSE d2 END AS d3
        |  FROM s3b),
-       |t4 AS (SELECT source,
-       |    quantile_cont(CASE WHEN $alive3 THEN CAST(nw AS DOUBLE) END, 0.5) AS med,
-       |    COUNT(CASE WHEN $alive3 THEN 1 END) AS n
-       |  FROM s3 GROUP BY source),
-       |s4a AS (SELECT s3.doc_id, s3.source, s3.lang, s3.nw, s3.d3, t4.n, t4.med,
-       |    abs(CAST(s3.nw AS DOUBLE) - t4.med) AS dev
-       |  FROM s3 LEFT JOIN t4 USING (source)),
-       |t4b AS (SELECT source, quantile_cont(CASE WHEN (d3 IS NULL OR d3 = 990) THEN dev END, 0.5) AS mad
-       |  FROM s4a GROUP BY source),
-       |s4 AS (SELECT s4a.doc_id, s4a.source, s4a.lang, CASE
-       |    WHEN d3 IS NULL AND n >= ${c.sctMinN} AND mad > 0.0 AND
-       |      dev / (1.4826 * mad) > ${c.sctZ}
+       |${orderStatsCtes("t4", "s3", "source", "nw", alive3)},
+       |s4a AS (SELECT s3.doc_id, s3.source, s3.lang, s3.nw, s3.d3, t4o.n,
+       |    ${popMedSumSql("t4o.m0", "t4o.m1", "t4o.n")} AS pms,
+       |    ${looMedSql("s3.nw", "t4o.m0", "t4o.m1", "t4o.m2", "t4o.n")} AS loomed
+       |  FROM s3 LEFT JOIN t4o USING (source)),
+       |s4b AS (SELECT doc_id, source, lang, nw, d3, n, loomed,
+       |    abs(nw * 2 - pms) AS d2 FROM s4a),
+       |${orderStatsCtes("t4d", "s4b", "source", "d2", "d3 IS NULL OR d3 = 990")},
+       |t4m AS (SELECT source,
+       |    CAST(${popMedSumSql("m0", "m1", "n")} AS DOUBLE) / 4.0 AS mad FROM t4do),
+       |s4 AS (SELECT s4b.doc_id, s4b.source, s4b.lang, CASE
+       |    WHEN d3 IS NULL AND s4b.n - 1 >= ${c.sctMinN} AND mad > 0.0 AND
+       |      abs(CAST(s4b.nw AS DOUBLE) - loomed) / (1.4826 * mad) > ${c.sctZ}
        |    THEN 1 ELSE d3 END AS d4
-       |  FROM s4a LEFT JOIN t4b USING (source)),
+       |  FROM s4b LEFT JOIN t4m USING (source)),
        |t5 AS (SELECT source, lang, COUNT(CASE WHEN (d4 IS NULL OR d4 = 990) THEN 1 END) AS n
        |  FROM s4 GROUP BY source, lang),
        |s5 AS (SELECT s4.doc_id, CASE

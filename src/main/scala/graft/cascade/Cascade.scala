@@ -71,15 +71,22 @@ object Cascade {
       b += StageDef(Metadata, selfRef = false, d => RowChecks.metadata.transform(d, cfg))
       b += StageDef(Metadata, selfRef = false, d => ModelChecks.backfillAndRecheck(d, cfg))
     }
+    // html is consumed only by the backfill and the cross-field check;
+    // dropping it as soon as it is dead halves the bytes later stage
+    // checkpoints materialize. Folded into the last consumer's stage (not a
+    // stage of its own: in ResumableCascade every stage is a full-corpus
+    // snapshot, and a pure projection doesn't deserve one).
+    val dropHtmlAtCrossField = cfg.enabled.contains(CrossField)
     // scrub is non-flagging; code 0 marks it as a transform, always on
-    b += StageDef(Good, selfRef = false, d => ModelChecks.scrubStage(d))
+    b += StageDef(Good, selfRef = false, d => {
+      val s = ModelChecks.scrubStage(d)
+      if (dropHtmlAtCrossField) s else s.drop(Cols.Html)
+    })
     models.foreach(m =>
       b += StageDef(Good, selfRef = false, d => ModelChecks.withModelFeatures(d, m)))
     if (cfg.enabled.contains(CrossField))
-      b += StageDef(CrossField, selfRef = false, d => RowChecks.crossField.transform(d, cfg))
-    // html is consumed only by the backfill and the cross-field check;
-    // dropping it here halves the bytes later stage checkpoints materialize
-    b += StageDef(Good, selfRef = false, d => d.drop(Cols.Html))
+      b += StageDef(CrossField, selfRef = false,
+        d => RowChecks.crossField.transform(d, cfg).drop(Cols.Html))
     if (cfg.enabled.contains(LangMismatch))
       b += StageDef(LangMismatch, selfRef = false, d => models match {
         case Some(_) => ModelChecks.langMismatch(d, cfg)
@@ -100,9 +107,9 @@ object Cascade {
     if (cfg.enabled.contains(Buddy))
       b += StageDef(Buddy, selfRef = true, d =>
         iterate(d, cfg.buddyMaxIter, cfg.buddyBreakAt, Buddy)(Neighborhood.buddyOnce(_, cfg)))
-    models.foreach { _ =>
+    models.foreach { m =>
       if (cfg.enabled.contains(SctFg))
-        b += StageDef(SctFg, selfRef = false, d => ModelChecks.sctFg(d, cfg))
+        b += StageDef(SctFg, selfRef = false, d => ModelChecks.sctFg(d, cfg, m.lms.size))
     }
     if (cfg.enabled.contains(Sct))
       b += StageDef(Sct, selfRef = true, d =>
@@ -122,7 +129,14 @@ object Cascade {
   def run(pages: DataFrame, cfg: CascadeConfig,
           models: Option[Models] = None,
           pseudoTexts: Seq[String] = Nil): DataFrame = {
-    val prepared = Ingest.stampLists(Ingest.normalize(pages, cfg), cfg)
+    val normalized = Ingest.normalize(pages, cfg)
+    // ingest-time duplicate drop BEFORE any check (read_data_to_check.r:
+    // 122-143): duplicates must never inflate neighborhood statistics.
+    // Self-join-shaped, so the input is materialized like selfRef stages.
+    val deduped =
+      if (cfg.dedupIngest) Ingest.dropDuplicatePages(normalized.localCheckpoint(false))
+      else normalized
+    val prepared = Ingest.stampLists(deduped, cfg)
     val checked = stages(cfg, models, pseudoTexts)
       .foldLeft(prepared) { case (d, s) =>
         // lazy local checkpoint: replaces the logical plan with a leaf NOW

@@ -36,6 +36,7 @@ import graft.ml.{LangId, Scrubber}
   *   blacklisted   geCheck 999
   *   keepclean     geCheck 990  keep-listed domain
   *   pii           geCheck 0    ge 0 — kept, but expected_text is scrubbed
+  *   crossfield    geCheck 301  html present but shorter than text
   */
 object PagesGen {
 
@@ -69,7 +70,7 @@ object PagesGen {
   val AllClasses: Seq[String] = Seq(
     "clean", "backfill", "meta", "short", "wronglang", "lowstop", "symbol",
     "repeat", "longword", "digit", "longdoc", "gibberish", "buddy", "sctout",
-    "lonely", "blacklisted", "keepclean", "pii")
+    "lonely", "blacklisted", "keepclean", "pii", "crossfield")
 
   private val vocab: Map[String, Array[String]] =
     LangId.seeds.map { case (l, s) => l -> s.split(" ").filter(_.nonEmpty) }
@@ -189,6 +190,11 @@ object PagesGen {
       case "pii" =>
         val t = base + " user" + id + "@mail.example 555-123-4567 123-45-6789"
         page(host, t, lang, htmlOf(t), 0, 0, Scrubber.scrubString(t))
+      case "crossfield" =>
+        // html present but impossibly shorter than its extracted text — the
+        // two columns cannot disagree this way on a well-formed page (the
+        // cross-variable inconsistency ccrrt.r:91-96 flags as 301)
+        page(host, base, lang, "<p></p>".getBytes("UTF-8"), 1, 301, base)
       case other => throw new IllegalArgumentException(other)
     }
   }

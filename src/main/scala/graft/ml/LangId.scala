@@ -70,7 +70,6 @@ object LangId {
       counts(g) = counts.getOrElse(g, 0) + 1
       i += 1
     }
-    val total = counts.valuesIterator.sum.toDouble
     val norm = math.sqrt(counts.valuesIterator.map(c => c.toDouble * c).sum)
     counts.iterator.map { case (g, c) => g -> c / norm }.toMap
   }

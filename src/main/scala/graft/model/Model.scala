@@ -69,6 +69,26 @@ final case class Bounds(min: Double, max: Double) {
   def contains(v: Double): Boolean = v >= min && v <= max
 }
 
+/** One buddy-check configuration — the reference runs a *sequence* of these
+  * per check invocation (the `j` loop over radii/threshold pairs,
+  * /root/reference/functions/checks/buddy.r:101 with ini pairs like
+  * test/ini/rr1_buddy.ini:16-20).
+  */
+final case class BuddyParams(minN: Int, z: Double)
+
+/** Per-provider ingest shaping — the reference's per-provider header remap +
+  * affine rescale applied before any check sees the data
+  * (/root/reference/functions/IO/read_data_to_check.r:50-84: `varname.*`
+  * remaps, `value ← offset + cfact·value`).
+  *
+  * `remap` renames source-specific column names to the canonical schema
+  * (e.g. "page_url" → "url"); `affine` rescales numeric columns as
+  * offset + cfact·x (keyed by canonical name, applied after the remap).
+  */
+final case class SourceSpec(
+    remap: Map[String, String] = Map.empty,
+    affine: Map[String, (Double, Double)] = Map.empty)
+
 /** Per-check and global configuration.
   *
   * TITAN parameterizes every check per (test j, provider f) with recycle
@@ -102,6 +122,12 @@ final case class CascadeConfig(
     buddyZ: Double = 2.5,
     buddyMaxIter: Int = 1,
     buddyBreakAt: Long = 0L,
+    // multi-test-configuration loop (reference `j` loop, buddy.r:101);
+    // empty = single configuration from (buddyMinN, buddyZ)
+    buddyParams: Seq[BuddyParams] = Nil,
+    // variance-stabilizing fixed-point log1p before the buddy z test
+    // (boxcox analog, misc/statistics_util.r:101-107)
+    buddyLog1p: Boolean = false,
     // sct (1) — robust z via median/MAD
     sctMinN: Int = 5,
     sctZ: Double = 3.0,
@@ -131,6 +157,20 @@ final case class CascadeConfig(
     keepDomains: Set[String] = Set.empty,
     doit: Map[String, Int] = Map.empty,          // default 1
     priorities: Map[String, Int] = Map.empty,    // default 0; higher = checked first
+    // corpus scope: crawl-window bounds on warc_ts (the reference constrains
+    // every run to a lon/lat box or the data bbox,
+    // IO/read_data_to_check.r:234-249) — a pushed-down scan predicate, so on
+    // a warc_ts-partitioned table it prunes partitions before any check
+    tsMin: Option[java.sql.Timestamp] = None,
+    tsMax: Option[java.sql.Timestamp] = None,
+    // ingest-time exact duplicate drop (read_data_to_check.r:122-143):
+    // duplicates removed BEFORE any check so they never pollute
+    // neighborhood statistics; keeper = minimum url per text fingerprint
+    dedupIngest: Boolean = false,
+    // neighbor cap (num_max_outer analog, checks/buddy.r:46,154-167):
+    // bound how many rows a giant group contributes to its own statistics
+    // via deterministic hash-proportional sampling
+    maxRefsPerGroup: Option[Int] = None,
     // skew handling: #salt buckets for two-level aggregation of group stats
     saltBuckets: Int = 8,
     // which checks run (TITAN: each check behind a CLI switch, titan.r:140-256)

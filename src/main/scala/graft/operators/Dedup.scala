@@ -160,12 +160,72 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
-  /** SimHash near-dup candidate pairs: equal-bucket join (id_a < id_b). */
+  /** SimHash near-dup candidate pairs: equal-bucket join (id_a < id_b).
+    * 16-bit form — only 65 536 buckets, so the within-bucket join goes
+    * quadratic on a real corpus; `simhashPairs64` below is the scale form.
+    */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val h = simhash16(df, textCol, idCol)
     val l = h.select(col("simhash"), col(idCol).as("id_a"))
     val r = h.select(col("simhash"), col(idCol).as("id_b"))
     l.join(r, Seq("simhash")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "simhash")
+  }
+
+  /** Portable 64-bit SimHash, exposed as four 16-bit words sh0..sh3 (word j
+    * = bits 16j..16j+15; four ints sidestep BIGINT sign pitfalls in the SQL
+    * oracle while carrying the full 64 bits). Same md5-nibble construction
+    * as simhash16, over the first 16 nibbles of each token's md5.
+    */
+  def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("h", md5(col("w")))
+    def nibble(pos: Int): Column =
+      (0 until 16).foldLeft(lit(0)) { (acc, v) =>
+        when(substring(col("h"), pos + 1, 1) === "0123456789abcdef".charAt(v).toString,
+          lit(v)).otherwise(acc)
+      }
+    val withNibs = (0 until 16).foldLeft(tok)((d, j) => d.withColumn(s"nib$j", nibble(j)))
+    val sums = (0 until 64).map { b =>
+      val nib = col(s"nib${b / 4}")
+      val bit = floor(nib / math.pow(2, b % 4).toInt).cast("int") % 2
+      sum(bit * 2 - 1).as(s"s$b")
+    }
+    val agg = withNibs.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val words = (0 until 4).map { j =>
+      (0 until 16).map { b0 =>
+        when(col(s"s${16 * j + b0}") > 0, lit(1 << b0)).otherwise(lit(0))
+      }.reduce(_ + _).as(s"sh$j")
+    }
+    agg.select(col(idCol) +: words: _*)
+  }
+
+  /** Banded 64-bit SimHash near-dup pairs — the 100 TB shape: explode the
+    * four 16-bit bands, bucket-equi-join on (band, key) (pigeonhole: two
+    * hashes within hamming distance 3 must agree on at least one of 4
+    * bands), dedup candidates, then confirm with the exact hamming distance
+    * over the full 64 bits. 4×65 536 buckets per band and candidates bounded
+    * by true near-dups + band-collisions — never all-pairs.
+    */
+  def simhashPairs64(df: DataFrame, textCol: String, idCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    // materialize the signature once: it feeds both join sides + the confirm
+    val h = simhash64(df, textCol, idCol).localCheckpoint(false)
+    val keyed = h.select(col(idCol),
+      posexplode(array((0 until 4).map(j => col(s"sh$j")): _*)).as(Seq("band", "bkey")))
+    val l = keyed.select(col("band"), col("bkey"), col(idCol).as("id_a"))
+    val r = keyed.select(col("band"), col("bkey"), col(idCol).as("id_b"))
+    val cands = l.join(r, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val ha = h.select(col(idCol).as("id_a") +: (0 until 4).map(j => col(s"sh$j").as(s"_a$j")): _*)
+    val hb = h.select(col(idCol).as("id_b") +: (0 until 4).map(j => col(s"sh$j").as(s"_b$j")): _*)
+    val hamming = (0 until 4).map(j =>
+      call_function("bit_count", col(s"_a$j").bitwiseXOR(col(s"_b$j"))).cast("int"))
+      .reduce(_ + _)
+    cands.join(ha, Seq("id_a")).join(hb, Seq("id_b"))
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 }

@@ -58,9 +58,15 @@ object Multimodal {
   def frameSample(bin: Column, n: Int, frameBytes: Int): Column = {
     val total = length(bin)
     transform(sequence(lit(0), lit(n - 1)), i => {
-      // floor(i * (total - frameBytes) / max(n-1,1)) keeps slices in-range
+      // floor(i * (total - frameBytes) / max(n-1,1)) keeps slices in-range.
+      // Exact-by-construction integer division: subtract the pmod remainder
+      // before dividing, so the double quotient is an exact integer — a bare
+      // `/` (double division + truncating cast) can disagree with the SQL
+      // oracle's integer `//` for huge byte lengths.
       val span = greatest(total - lit(frameBytes), lit(0))
-      val off = (i.cast("long") * span.cast("long") / lit(math.max(n - 1, 1))).cast("int")
+      val num  = i.cast("long") * span.cast("long")
+      val den  = lit(math.max(n - 1, 1).toLong)
+      val off  = ((num - pmod(num, den)) / den).cast("int")
       struct(
         i.cast("int").as("frame_no"),
         off.as("offset"),

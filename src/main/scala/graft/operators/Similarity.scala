@@ -77,41 +77,78 @@ object Similarity {
     * IVF-Flat scale path (bucket equi-join replaces the full cross join;
     * candidate count drops by ~nCentroids/nProbe).
     *
-    * Centroids are the vectors with the `nCentroids` smallest ids —
-    * deterministic, broadcast-joined (a tiny dim table), no training step.
-    * Results are a recall<1 approximation of `cosineTopK` by construction;
-    * the OperatorSpec gate asserts recall against brute force.
+    * Scale design: centroids are a tiny *collected* dim table (the vectors
+    * with the `nCentroids` smallest md5(id) — a deterministic hash sample,
+    * independent of corpus insertion order), so the assignment is a pure
+    * per-row projection: score the literal centroid array and fold an
+    * argmax — ZERO shuffle over the corpus, where a
+    * `row_number() over (partition by vec_id)` window would reshuffle every
+    * row into its own one-row partition. The final per-query top-k is a
+    * two-phase salted rank so one giant probed bucket never lands on a
+    * single reducer. Results match the SQL oracle bit-for-bit (double
+    * compares, fixed tie order: cos desc, id asc).
     */
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
               queryIds: Seq[Long], k: Int,
               nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
     // norms precomputed once per side (see cosineTopK)
     val base = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("_nv"))
-    val cents = base.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("_cv"), col("_nv").as("_cn"))
-    // assignment: best centroid per vector (broadcast cross + window rank 1)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(desc("_ccos"), asc("cent_id"))
-    val assigned = base.crossJoin(broadcast(cents))
-      .withColumn("_ccos", dot(col(vecCol), col("_cv")) / (col("_nv") * col("_cn")))
-      .withColumn("_r", row_number().over(w)).filter(col("_r") === 1)
+    // deterministic hash sample (not lowest-N ids: recall would depend on
+    // corpus order); tiny driver-side collect, ascending id for tie-breaks
+    val centRows = base
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nCentroids).collect()
+      .sortBy(_.getLong(0))
+    val centIds = centRows.map(_.getLong(0))
+    val nC = centRows.length
+
+    // per-centroid cosine columns against a row's (vector, norm): literal
+    // centroid arrays compile straight into codegen (broadcast-equivalent)
+    def scoreCols(v: Column, nv: Column): Seq[Column] = centRows.zipWithIndex.map {
+      case (r, i) =>
+        val cv = typedlit(r.getSeq[Float](1).toArray)
+        val cn = lit(r.getDouble(2))
+        (dot(v, cv) / (nv * cn)).as(s"_c$i")
+    }
+
+    // assignment = shuffle-free argmax fold over the scored centroids
+    // (ascending cent_id, replace only on strictly greater ⇒ ties pick the
+    // smallest id, matching `order by ccos desc, cent_id asc` in the oracle)
+    val scored = base.select(Seq(col(idCol), col(vecCol), col("_nv")) ++
+      scoreCols(col(vecCol), col("_nv")): _*)
+    val bestCent = (1 until nC).foldLeft(lit(centIds(0)): Column) { (best, i) =>
+      val prevMax =
+        if (i == 1) col("_c0") else greatest((0 until i).map(j => col(s"_c$j")): _*)
+      when(col(s"_c$i") > prevMax, lit(centIds(i))).otherwise(best)
+    }
+    val assigned = scored.withColumn("cent_id", bestCent)
       .select(col(idCol), col(vecCol), col("_nv"), col("cent_id"))
-    // queries probe their nProbe nearest centroids
-    val wq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(desc("_qcos"), asc("cent_id"))
+
+    // queries probe their nProbe nearest centroids: same projection, then a
+    // per-row sort of the (−cos, cent_id) structs — still zero shuffle
+    val probeArr = array((0 until nC).map(i =>
+      struct((-col(s"_c$i")).as("nc"), lit(centIds(i)).as("cent_id"))): _*)
     val probes = base.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"), col("_nv").as("_qn"))
-      .crossJoin(broadcast(cents))
-      .withColumn("_qcos", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_cn")))
-      .withColumn("_r", row_number().over(wq)).filter(col("_r") <= nProbe)
-      .select(col("query_id"), col("_qv"), col("_qn"), col("cent_id"))
-    // exact search within probed buckets only
-    val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(desc("cos"), asc(idCol))
-    assigned.join(broadcast(probes), Seq("cent_id"))
+      .select(Seq(col(idCol).as("query_id"), col(vecCol).as("_qv"), col("_nv").as("_qn")) ++
+        scoreCols(col(vecCol), col("_nv")): _*)
+      .select(col("query_id"), col("_qv"), col("_qn"),
+        explode(slice(sort_array(probeArr), 1, nProbe)).as("_p"))
+      .select(col("query_id"), col("_qv"), col("_qn"), col("_p.cent_id").as("cent_id"))
+
+    // exact search within probed buckets only; probes are |queries|·nProbe
+    // rows — a genuinely tiny build side, so the broadcast hint is safe
+    val cand = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("cos", dot(col("_qv"), col(vecCol)) / (col("_qn") * col("_nv")))
-      .withColumn("rank", row_number().over(wr))
+    // two-phase top-k: per-(query, salt) rank bounds any single partition,
+    // then the global rank sees ≤ salt·k rows per query
+    val wSalt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("_salt")).orderBy(desc("cos"), asc(idCol))
+    val wGlob = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(desc("cos"), asc(idCol))
+    cand.withColumn("_salt", pmod(xxhash64(col(idCol)), lit(32)))
+      .withColumn("_r", row_number().over(wSalt)).filter(col("_r") <= k)
+      .withColumn("rank", row_number().over(wGlob))
       .filter(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("cos"), col("rank"))
   }

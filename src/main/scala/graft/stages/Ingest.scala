@@ -42,6 +42,16 @@ object Ingest {
     if (!df.columns.contains(Domain)) df = df.withColumn(Domain, domainOf(col(Url)))
     if (!df.columns.contains(Dqc))    df = df.withColumn(Dqc, lit(null).cast("int"))
 
+    // corpus scope: crawl-window predicate on warc_ts, the analog of the
+    // reference cropping every run to a lon/lat extent before any check
+    // (IO/read_data_to_check.r:234-249). Expressed as a plain scan filter so
+    // Catalyst pushes it into the parquet scan (partition pruning on a
+    // warc_ts-partitioned table: PushedFilters in `.explain`).
+    if ((cfg.tsMin.nonEmpty || cfg.tsMax.nonEmpty) && df.columns.contains(WarcTs)) {
+      cfg.tsMin.foreach(t => df = df.filter(col(WarcTs) >= lit(t)))
+      cfg.tsMax.foreach(t => df = df.filter(col(WarcTs) < lit(t)))
+    }
+
     // doit / prio from per-provider config (argparser_doit.r:4); rows from
     // doit == 0 providers are excluded entirely (buddy.r:118-121).
     def lookup(m: Map[String, Int], default: Int): Column =
@@ -98,6 +108,42 @@ object Ingest {
         .when(col(Dqc).isNull && keep, lit(FlagCodes.Keep))
         .otherwise(col(Dqc)))
   }
+
+  /** Ingest-time exact duplicate drop — the reference removes duplicated
+    * stations BEFORE any check runs so duplicates never pollute
+    * neighborhood statistics (read_data_to_check.r:122-143, keep the first).
+    * Keeper = minimum url per normalized-text fingerprint: aggregation +
+    * semi-join, no window, skew-safe (the keeper table has one row per
+    * distinct content).
+    */
+  def dropDuplicatePages(df: DataFrame): DataFrame = {
+    val withFp = df.withColumn("_fp", TextFeatures.fingerprint(col(Text)))
+    val keepers = withFp.groupBy(col("_fp")).agg(min(col(Url)).as(Url))
+    withFp.join(keepers, Seq("_fp", Url), "left_semi").drop("_fp")
+  }
+
+  /** Per-provider ingest shaping + union — the reference's per-provider
+    * header remap and affine value rescale applied at read time, before the
+    * frames are unioned into the one working table
+    * (read_data_to_check.r:50-84). Each (frame, spec) pair is renamed to
+    * the canonical schema, numeric columns rescaled offset + cfact·x, and
+    * the results unioned by name (missing columns synthesized as nulls by
+    * `normalize` downstream).
+    */
+  def applySourceSpec(df: DataFrame, spec: graft.model.SourceSpec): DataFrame = {
+    var out = spec.remap.foldLeft(df) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
+    spec.affine.foreach { case (c, (offset, cfact)) =>
+      if (out.columns.contains(c))
+        out = out.withColumn(c, lit(offset) + lit(cfact) * col(c).cast("double"))
+    }
+    out
+  }
+
+  def unionSources(sources: Seq[(DataFrame, graft.model.SourceSpec)]): DataFrame =
+    sources.map { case (df, spec) => applySourceSpec(df, spec) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Large-list variant: broadcast anti/semi join against a DataFrame of
     * (domain) or (url) keys — the scan-time form the reference applies via

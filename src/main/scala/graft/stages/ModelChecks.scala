@@ -28,9 +28,25 @@ object Models {
     * once and shared, and all members' perplexity backgrounds come from a
     * single scoring pass.
     */
+  /** Model-side pre-clean (the radar-DQC analog: the reference cleans the
+    * gridded first-guess fields before any observation is judged against
+    * them — a dirty background corrupts every downstream check). Rows that
+    * fail cheap structural bounds are excluded from LM / background
+    * training so junk documents cannot poison the reference models.
+    */
+  def preCleanFilter(textCol: String): Column = {
+    val st = graft.functions.TextFeatures.textStats(col(textCol))
+    col(textCol).isNotNull &&
+      graft.functions.TextFeatures.nWordsOf(st) >= 8 &&
+      st.getField("nchars") >= 30 &&
+      graft.functions.TextFeatures.symbolRatioOf(st) <= 0.3
+  }
+
   def train(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
-            textCol: String = "text", langCol: String = "lang"): Models = {
-    val cached = df.select(col(textCol), col(langCol)).persist()
+            textCol: String = "text", langCol: String = "lang",
+            preClean: Boolean = true): Models = {
+    val source = if (preClean) df.filter(preCleanFilter(textCol)) else df
+    val cached = source.select(col(textCol), col(langCol)).persist()
     try {
       val totalUni = NgramLM.totalUnigrams(spark, cached, textCol)
       val lms = Seq(
@@ -55,16 +71,25 @@ object ModelChecks {
     * columns once (the reference computes fg values at obs locations once
     * and reuses them across checks, sct_fg_resistant.r:197,227-267).
     */
-  /** Broadcast handles memoized per (context, model set): re-serializing
-    * the multi-MB LM maps on every pipeline construction would put a fixed
-    * driver-side cost on each run.
+  /** Broadcast handles memoized per (context, model-set *instance*):
+    * re-serializing the multi-MB LM maps on every pipeline construction
+    * would put a fixed driver-side cost on each run. Keyed by identity (not
+    * the case-class value — hashing multi-MB maps on every lookup is itself
+    * a cost) and bounded: when a new model instance replaces an old one in
+    * the same application, the stale broadcast is unpersisted and evicted.
     */
   private val bcCache = scala.collection.mutable.HashMap
-    .empty[(String, Models), org.apache.spark.broadcast.Broadcast[Models]]
+    .empty[(String, Int), org.apache.spark.broadcast.Broadcast[Models]]
+  private val MaxCached = 8
 
   private def broadcastOf(df: DataFrame, models: Models) = bcCache.synchronized {
     val sc = df.sparkSession.sparkContext
-    bcCache.getOrElseUpdate((sc.applicationId, models), sc.broadcast(models))
+    val key = (sc.applicationId, System.identityHashCode(models))
+    if (!bcCache.contains(key) && bcCache.size >= MaxCached) {
+      bcCache.keys.filter(_._1 == sc.applicationId).take(bcCache.size - MaxCached + 1)
+        .foreach { k => bcCache.remove(k).foreach(_.unpersist(blocking = false)) }
+    }
+    bcCache.getOrElseUpdate(key, sc.broadcast(models))
   }
 
   def withModelFeatures(df: DataFrame, models: Models): DataFrame = {
@@ -113,12 +138,18 @@ object ModelChecks {
     Stage.sticky(df, votes >= majority, FlagCodes.Fgt, flagsKeep = false)
   }
 
-  /** 2 — sct_fg analog: absolute perplexity bound vs the primary broadcast
-    * LM ("External" background elaboration,
-    * functions/checks/sct_fg_resistant.r:276-303).
+  /** 2 — sct_fg analog: absolute perplexity bound, voted over the full LM
+    * ensemble with majority ≥ (nens+1)/2 — the reference votes per ensemble
+    * member and flags on the majority (functions/checks/
+    * sct_fg_resistant.r:360-367), exactly like `fgt` above.
     */
-  def sctFg(df: DataFrame, cfg: CascadeConfig): DataFrame =
-    Stage.sticky(df, col(LogPpl) > cfg.maxLogPpl, FlagCodes.SctFg, flagsKeep = false)
+  def sctFg(df: DataFrame, cfg: CascadeConfig, nMembers: Int = 1): DataFrame = {
+    val votes = (0 until math.max(nMembers, 1)).map { i =>
+      when(col(s"$LogPpl$i") > cfg.maxLogPpl, lit(1)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val majority = (math.max(nMembers, 1) + 1) / 2
+    Stage.sticky(df, votes >= majority, FlagCodes.SctFg, flagsKeep = false)
+  }
 
   /** 4 — sct_fg_dual analog: reference pseudo-docs are appended with
     * doit=2 (informative but never flaggable — exactly the reference's
@@ -148,16 +179,21 @@ object ModelChecks {
     val event = (col(DigitRatio) > cfg.fgDualDigitRatio).cast("int")
     val stats = Neighborhood.groupStats(unioned.withColumn("_ev", event), col("_ev"), cfg)
       .withColumnRenamed("_s", "_evs").withColumnRenamed("_n", "_evn").drop("_q")
+    // no broadcast hint: per-domain stats are web-scale cardinality
+    // (see Neighborhood.buddyRound); AQE broadcasts when actually small
     val joined = unioned.withColumn("_ev", event)
-      .join(broadcast(stats), Seq(Domain), "left")
-    val nn = (col("_evn") - lit(1)).cast("double")
-    val frac = when(nn > 0, (col("_evs") - col("_ev").cast("long")).cast("double") / nn)
-    val fail = (col("_evn") - lit(1)) >= cfg.fgDualMinN &&
+      .join(stats, Seq(Domain), "left")
+    val selfIn = Neighborhood.selfInSample(cfg)
+    val evSelf = when(selfIn, col("_ev").cast("long")).otherwise(lit(0L))
+    val ns = when(selfIn, lit(1L)).otherwise(lit(0L))
+    val nn = (col("_evn") - ns).cast("double")
+    val frac = when(nn > 0, (col("_evs") - evSelf).cast("double") / nn)
+    val fail = (col("_evn") - ns) >= cfg.fgDualMinN &&
       ((frac >= cfg.fgDualHiFrac && col("_ev") === 0) ||
        (frac <= cfg.fgDualLoFrac && col("_ev") === 1))
     Stage.sticky(joined, fail, FlagCodes.SctFgDual, flagsKeep = false)
       .filter(!col("_pseudo"))
-      .drop("_pseudo", "_ev", "_evs", "_evn")
+      .drop("_pseudo", "_ev", "_evs", "_evn", "_gn")
   }
 
   /** Backfill + re-check: rows flagged 901 with recoverable html get their
@@ -191,4 +227,32 @@ object ModelChecks {
   def scrubStage(df: DataFrame): DataFrame =
     df.withColumn(ScrubbedText,
       when(Stage.referenceEligible, Scrubber.scrub(col(Text))).otherwise(col(Text)))
+
+  /** Windcorr-style adjusted~raw regression report (the reference fits
+    * lm(adjusted ~ raw) per run and logs slope/intercept,
+    * windcorr/rr_windcorr.r:219-225): per domain, the least-squares fit of
+    * scrubbed length on raw length, computed from exact integer sums in one
+    * map-side-combinable aggregation. The final slope/intercept doubles are
+    * derived with a fixed operation order, so the SQL oracle matches
+    * bit-for-bit.
+    */
+  def scrubReport(df: DataFrame, rawCol: Column, scrubbedCol: Column): DataFrame = {
+    val x = length(rawCol).cast("long")
+    val y = length(scrubbedCol).cast("long")
+    val agg = df.groupBy(col(Domain)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(x).as("_sx"), sum(y).as("_sy"),
+      sum(x * x).as("_sxx"), sum(x * y).as("_sxy"))
+    val n = col("n_docs")
+    val num   = (n * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+    val denom = (n * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val slope = when(denom =!= 0.0, num / denom)
+    agg
+      .withColumn("slope", slope)
+      .withColumn("intercept",
+        when(slope.isNotNull,
+          (col("_sy").cast("double") - col("slope") * col("_sx").cast("double")) /
+            n.cast("double")))
+      .drop("_sx", "_sy", "_sxx", "_sxy")
+  }
 }

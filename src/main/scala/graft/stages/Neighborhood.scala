@@ -2,7 +2,7 @@ package graft.stages
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.model.{CascadeConfig, FlagCodes}
+import graft.model.{BuddyParams, CascadeConfig, FlagCodes}
 
 /** The neighborhood ("buddy"/SCT) check family — TITAN's core
   * (SURVEY.md §2.4). A document's neighborhood is its registered domain
@@ -30,23 +30,68 @@ object Neighborhood {
 
   /** Exact per-domain (sum, sumsq, count) of `x` (an integral column) over
     * reference-eligible rows, via two-level salted aggregation.
+    *
+    * `maxRefs` (the reference's neighbor cap, `num_max_outer`,
+    * /root/reference/functions/checks/buddy.r:46,154-167) bounds how many
+    * rows a giant group contributes to its own statistics: a first cheap
+    * count pass sets a per-group deterministic hash-sampling rate
+    * min(1, cap/n), so a 10M-doc host is judged against a fixed-size,
+    * reproducible subsample instead of all 10M rows.
     */
   def groupStats(df: DataFrame, x: Column, cfg: CascadeConfig,
                  refFilter: Column = Stage.referenceEligible,
                  keys: Seq[String] = Seq(Domain)): DataFrame = {
-    val xl = when(refFilter, x.cast("long"))
     val keyCols = keys.map(col)
-    val partial = df
+    // capped mode: one cheap count pass sets the per-group sampling rate
+    val capCounts = cfg.maxRefsPerGroup.map { _ =>
+      df.filter(refFilter).groupBy(keyCols: _*).agg(count(lit(1)).as("_gn"))
+        .localCheckpoint(false)
+    }
+    val sampled = cfg.maxRefsPerGroup match {
+      case None => df
+      case Some(cap) =>
+        // deterministic proportional thinning: keep row iff its url hash
+        // falls under cap/n of the hash space (exact at any parallelism)
+        df.join(capCounts.get, keys, "left")
+          .filter(col("_gn").isNull || inSampleCond(cap, col("_gn")))
+          .drop("_gn")
+    }
+    val xl = when(refFilter, x.cast("long"))
+    val partial = sampled
       .groupBy(keyCols :+ pmod(xxhash64(col(Url)), lit(cfg.saltBuckets.max(1))).as("_salt"): _*)
       .agg(
         sum(xl).as("_ps"),
         sum(xl * xl).as("_pq"),
         count(xl).as("_pn"))
-    partial.groupBy(keyCols: _*).agg(
+    val merged = partial.groupBy(keyCols: _*).agg(
       sum("_ps").as("_s"),
       sum("_pq").as("_q"),
       sum("_pn").as("_n"))
+    // capped mode: carry the pre-cap group size so consumers can re-derive
+    // per-row whether THIS row was sampled (LOO terms must only subtract
+    // contributions that are actually inside the sampled statistics)
+    capCounts.fold(merged)(c => merged.join(c, keys, "left"))
   }
+
+  private val SampleMod = 1000000L
+
+  /** Deterministic membership test for the neighbor-cap subsample: a pure
+    * function of (url, group size, cap), identical wherever re-evaluated.
+    */
+  def inSampleCond(cap: Int, gn: Column): Column =
+    gn <= cap ||
+      pmod(xxhash64(col(Url), lit("refcap")), lit(SampleMod)) * gn < lit(cap.toLong) * lit(SampleMod)
+
+  /** Per-row "my own value is inside the group statistics" indicator; true
+    * everywhere in uncapped mode.
+    */
+  private[stages] def selfInSample(cfg: CascadeConfig): Column = cfg.maxRefsPerGroup match {
+    case None      => lit(true)
+    case Some(cap) => coalesce(inSampleCond(cap, col("_gn")), lit(false))
+  }
+
+  private def dropStatCols(df: DataFrame, names: String*): DataFrame =
+    df.drop(names :+ "_gn": _*)
 
   /** Buddy check (code 10). Reference: functions/checks/buddy.r — each
     * checked observation vs mean ± sd of its neighbors; here the per-doc
@@ -58,61 +103,182 @@ object Neighborhood {
     * a round's references are alive rows with prio >= the class, checked
     * rows are the class itself. With no priorities configured this is a
     * single round over everything.
+    *
+    * Honors the reference's multi-test-configuration loop (the `j` loop,
+    * buddy.r:101; ini pairs test/ini/rr1_buddy.ini:16-20): when
+    * `cfg.buddyParams` lists several (minN, z) configurations they are
+    * folded in order, each seeing the flags the previous one stamped.
     */
   def buddyOnce(df: DataFrame, cfg: CascadeConfig): DataFrame = {
-    val prios = cfg.priorities.values.toSet + 0
-    if (prios.size == 1) buddyRound(df, cfg, None)
-    else prios.toSeq.sorted(Ordering[Int].reverse)
-      .foldLeft(df)((d, p) => buddyRound(d, cfg, Some(p)))
+    val configs =
+      if (cfg.buddyParams.nonEmpty) cfg.buddyParams
+      else Seq(BuddyParams(cfg.buddyMinN, cfg.buddyZ))
+    configs.zipWithIndex.foldLeft(df) { case (d, (p, i)) =>
+      // materialize between configurations: each round's stats pass scans
+      // its input twice, and folding rounds over a lazy plan compounds
+      val in = if (i == 0) d else d.localCheckpoint(false)
+      buddyConfigRound(in, cfg, p)
+    }
   }
 
-  private def buddyRound(df: DataFrame, cfg: CascadeConfig, prioClass: Option[Int]): DataFrame = {
+  private def buddyConfigRound(df: DataFrame, cfg: CascadeConfig, params: BuddyParams): DataFrame = {
+    val prios = cfg.priorities.values.toSet + 0
+    if (prios.size == 1) buddyRound(df, cfg, params, None)
+    else prios.toSeq.sorted(Ordering[Int].reverse)
+      .foldLeft(df)((d, p) => buddyRound(d, cfg, params, Some(p)))
+  }
+
+  private def buddyRound(df: DataFrame, cfg: CascadeConfig, params: BuddyParams,
+                         prioClass: Option[Int]): DataFrame = {
     val refFilter = prioClass match {
       case Some(p) => Stage.referenceEligible && col(Prio) >= p
       case None    => Stage.referenceEligible
     }
-    val stats = groupStats(df, col(NWords), cfg, refFilter, keys = cfg.buddyKeys)
-    val joined = df.join(broadcast(stats), cfg.buddyKeys, "left")
+    // stats table: one row per buddy-key group. NO broadcast hint — on a
+    // real web corpus "one row per domain" is 10⁷–10⁸ rows, and a forced
+    // broadcast is a driver OOM at exactly the scale this engine targets.
+    // The join is a plain equi-join; AQE broadcasts it when actually small.
+    // optional variance-stabilizing transform before the z test: word-count
+    // distributions are heavy-tailed like the reference's precipitation, and
+    // the reference boxcoxes values before its gaussian checks
+    // (misc/statistics_util.r:101-107 used in checks/buddy.r:87-93). A
+    // fixed-point log1p (×1000, rounded) keeps the statistic integral so the
+    // exact two-level aggregation machinery applies unchanged.
+    val xv: Column =
+      if (cfg.buddyLog1p) round(log1p(col(NWords).cast("double")) * 1000.0).cast("long")
+      else col(NWords).cast("long")
+    val stats = groupStats(df, xv, cfg, refFilter, keys = cfg.buddyKeys)
+    val joined = df.join(stats, cfg.buddyKeys, "left")
 
-    val x    = col(NWords).cast("long")
-    val nn   = (col("_n") - lit(1)).cast("double")            // leave-one-out count
-    val mean = when(nn > 0, (col("_s") - x).cast("double") / nn)
-    val vr   = when(col("_n") > 2,
-      ((col("_q") - x * x).cast("double") - nn * mean * mean) /
-        (col("_n") - lit(2)).cast("double"))
-    val sd   = sqrt(greatest(vr, lit(0.0)))
-    val z    = when(sd > 0, (x.cast("double") - mean) / sd)
+    val x = xv
+    val (minN, zThresh) = (lit(params.minN), lit(params.z))
+    val (mean, sd, looN) =
+      if (cfg.maxRefsPerGroup.isEmpty) {
+        val nn   = (col("_n") - lit(1)).cast("double")        // leave-one-out count
+        val mean = when(nn > 0, (col("_s") - x).cast("double") / nn)
+        val vr   = when(col("_n") > 2,
+          ((col("_q") - x * x).cast("double") - nn * mean * mean) /
+            (col("_n") - lit(2)).cast("double"))
+        (mean, sqrt(greatest(vr, lit(0.0))), col("_n") - lit(1))
+      } else {
+        // neighbor-cap mode: only subtract self if self was sampled into
+        // the group statistics (otherwise the LOO algebra double-corrects)
+        val selfIn = selfInSample(cfg)
+        val xs = when(selfIn, x).otherwise(lit(0L))
+        val ns = when(selfIn, lit(1L)).otherwise(lit(0L))
+        val m    = (col("_n") - ns).cast("double")
+        val mean = when(m > 0, (col("_s") - xs).cast("double") / m)
+        val vr   = when(m > 1,
+          ((col("_q") - xs * xs).cast("double") - m * mean * mean) / (m - 1.0))
+        (mean, sqrt(greatest(vr, lit(0.0))), (col("_n") - ns).cast("int"))
+      }
+    val z = when(sd > 0, (x.cast("double") - mean) / sd)
 
     val inClass = prioClass.map(p => col(Prio) === p).getOrElse(lit(true))
     val fail = inClass &&
-      (col("_n") - lit(1)) >= cfg.buddyMinN && sd > 0.0 && abs(z) > cfg.buddyZ
-    Stage.sticky(joined, fail, FlagCodes.Buddy, flagsKeep = false)
-      .drop("_s", "_q", "_n")
+      looN >= minN && sd > 0.0 && abs(z) > zThresh
+    dropStatCols(
+      Stage.sticky(joined, fail, FlagCodes.Buddy, flagsKeep = false),
+      "_s", "_q", "_n")
   }
 
-  /** SCT-resistant analog (code 1): robust z-score — deviation from the
-    * domain median in MAD units, "resistant" = robust estimators, exactly
-    * the spirit of the reference's resistant elaborations
-    * (functions/checks/sct_resistant.r:158-204). Median/MAD are computed
-    * with Spark's exact `percentile` aggregate (partial-aggregating, so
-    * skew-safe) over alive rows, then broadcast back.
+  /** Exact per-group central order statistics of an integral column over
+    * `alive` rows, computed scale-safely: groupBy (keys, value) counts —
+    * fully map-side combinable and skew-proof, because the grouping key is
+    * strictly finer than the group — then one pass over the per-group
+    * sorted (value, count) histogram. Per-group state is bounded by the
+    * number of DISTINCT values (word counts: ~10⁴), never by row count —
+    * unlike Spark's exact `percentile`, whose buffer grows with the group.
+    *
+    * Returns keys ++ (_m0, _m1, _m2, _n): the values at 0-based ranks
+    * L, L+1, L+2 where L = floor((n-2)/2) — exactly the three central
+    * order statistics needed for both the interpolated population median
+    * (DuckDB quantile_cont semantics) and the leave-one-out median.
+    */
+  def centralOrderStats(df: DataFrame, keys: Seq[String], x: Column,
+                        alive: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    val v = when(alive, x.cast("long"))
+    val hist = df.groupBy(keyCols :+ v.as("_v"): _*).agg(count(v).as("_c"))
+      .filter(col("_c") > 0)
+    val g = hist.groupBy(keyCols: _*).agg(
+      sort_array(collect_list(struct(col("_v"), col("_c")))).as("_h"),
+      sum("_c").as("_n"))
+    // 0-based target ranks (doubles are exact for any realistic count)
+    val rank0 = floor((col("_n") - lit(2)).cast("double") / 2.0).cast("long")
+    val walked = aggregate(col("_h"),
+      struct(lit(0L).as("cum"),
+        lit(null).cast("long").as("m0"),
+        lit(null).cast("long").as("m1"),
+        lit(null).cast("long").as("m2")),
+      (acc, e) => {
+        val cum2 = acc.getField("cum") + e.getField("_c")
+        def pick(cur: Column, rk: Column) =
+          when(cur.isNull && cum2 > rk, e.getField("_v")).otherwise(cur)
+        struct(cum2.as("cum"),
+          pick(acc.getField("m0"), rank0).as("m0"),
+          pick(acc.getField("m1"), rank0 + 1).as("m1"),
+          pick(acc.getField("m2"), rank0 + 2).as("m2"))
+      })
+    g.select(keyCols ++ Seq(
+      walked.getField("m0").as("_m0"),
+      walked.getField("m1").as("_m1"),
+      walked.getField("m2").as("_m2"),
+      col("_n").as("_n")): _*)
+  }
+
+  /** SCT-resistant analog (code 1): robust z-score — the doc's deviation
+    * from its neighborhood's *leave-one-out* median, in MAD units
+    * ("resistant" = robust estimators, the spirit of the reference's
+    * resistant elaborations, functions/checks/sct_resistant.r:158-204;
+    * self-exclusion as in the kernel statistics_util.r:15-98).
+    *
+    * The LOO median needs only the three central order statistics
+    * m0,m1,m2 (ranks L,L+1,L+2, L = floor((n-2)/2)) of the alive group:
+    * removing one value x from n sorted values leaves medians
+    *   n even: m1 if x ≤ m0 else m0
+    *   n odd : (m1+m2)/2 if x ≤ m0; (m0+m1)/2 if x ≥ m2; else (m0+m2)/2
+    * The MAD is the interpolated median of |x − popMedian| over alive rows
+    * (population median = (v[⌊(n−1)/2⌋]+v[⌊n/2⌋])/2, derived from the same
+    * statistics). All arithmetic stays on half-integers — exact in IEEE
+    * doubles — so the DuckDB oracle matches bit-for-bit. No broadcast
+    * hints and no window: two histogram aggregations plus equi-joins.
     */
   def sctOnce(df: DataFrame, cfg: CascadeConfig): DataFrame = {
-    val aliveX = when(Stage.referenceEligible, col(NWords).cast("double"))
-    val med = df.groupBy(col(Domain)).agg(
-      percentile(aliveX, lit(0.5)).as("_med"),
-      count(aliveX).as("_n"))
-    val withMed = df.join(broadcast(med), Seq(Domain), "left")
-    val dev = abs(col(NWords).cast("double") - col("_med"))
-    val aliveDev = when(Stage.referenceEligible, dev)
-    val mad = withMed.groupBy(col(Domain)).agg(
-      percentile(aliveDev, lit(0.5)).as("_mad"))
-    val joined = withMed.join(broadcast(mad), Seq(Domain), "left")
+    val alive = Stage.referenceEligible
+    val os = centralOrderStats(df, Seq(Domain), col(NWords), alive)
+    val withOs = df.join(os, Seq(Domain), "left")
 
-    val z = when(col("_mad") > 0, dev / (lit(1.4826) * col("_mad")))
-    val fail = col("_n") >= cfg.sctMinN && col("_mad") > 0.0 && z > cfg.sctZ
+    val x  = col(NWords).cast("long")
+    val n  = col("_n")
+    val m0 = col("_m0"); val m1 = col("_m1"); val m2 = col("_m2")
+    def half(a: Column, b: Column): Column = (a + b).cast("double") / 2.0
+    val even = pmod(n, lit(2)) === 0
+    // population median (quantile_cont): ranks ⌊(n−1)/2⌋, ⌊n/2⌋ = (m0,m1)
+    // for even n, (m1,m1) for odd n
+    val popMedLoHiSum = when(even, m0 + m1).otherwise(m1 + m1) // = 2·popMedian, integral
+    // leave-one-out median of the alive group, per checked row
+    val looMed = when(even, when(x <= m0, m1.cast("double")).otherwise(m0.cast("double")))
+      .otherwise(
+        when(x <= m0, half(m1, m2))
+          .when(x >= m2, half(m0, m1))
+          .otherwise(half(m0, m2)))
+
+    // MAD pass: 2·|x − popMedian| is integral, so the same exact histogram
+    // machinery applies; MAD = (d2lo + d2hi)/4 matches quantile_cont of the
+    // half-integer deviations exactly (divisions by powers of two are exact)
+    val d2 = abs(x * 2 - popMedLoHiSum)
+    val madOs = centralOrderStats(withOs, Seq(Domain), d2, alive)
+    val madLoHiSum = when(pmod(col("_n"), lit(2)) === 0, col("_m0") + col("_m1"))
+      .otherwise(col("_m1") + col("_m1"))
+    val mad = madOs.select(col(Domain), madLoHiSum.cast("double").divide(lit(4.0)).as("_mad"))
+    val joined = withOs.join(mad, Seq(Domain), "left")
+
+    val dev  = abs(x.cast("double") - looMed)
+    val z    = when(col("_mad") > 0, dev / (lit(1.4826) * col("_mad")))
+    val fail = (n - 1) >= cfg.sctMinN && col("_mad") > 0.0 && z > cfg.sctZ
     Stage.sticky(joined, fail, FlagCodes.Sct, flagsKeep = false)
-      .drop("_med", "_n", "_mad")
+      .drop("_m0", "_m1", "_m2", "_n", "_mad")
   }
 
   /** sct_dual analog (code 3): a *binary* attribute per doc (here: "long
@@ -126,16 +292,21 @@ object Neighborhood {
     val event = (col(NWords) > cfg.dualEventWords).cast("int")
     val stats = groupStats(df.withColumn("_ev", event), col("_ev"), cfg)
       .withColumnRenamed("_s", "_evs").withColumnRenamed("_n", "_evn").drop("_q")
+    // no broadcast hint: per-domain stats are web-scale cardinality (see buddyRound)
     val joined = df.withColumn("_ev", event)
-      .join(broadcast(stats), Seq(Domain), "left")
+      .join(stats, Seq(Domain), "left")
 
-    val nn   = (col("_evn") - lit(1)).cast("double")
-    val frac = when(nn > 0, (col("_evs") - col("_ev").cast("long")).cast("double") / nn)
-    val fail = (col("_evn") - lit(1)) >= cfg.dualMinN &&
+    val selfIn = selfInSample(cfg)
+    val evs  = when(selfIn, col("_ev").cast("long")).otherwise(lit(0L))
+    val ns   = when(selfIn, lit(1L)).otherwise(lit(0L))
+    val nn   = (col("_evn") - ns).cast("double")
+    val frac = when(nn > 0, (col("_evs") - evs).cast("double") / nn)
+    val fail = (col("_evn") - ns) >= cfg.dualMinN &&
       ((frac >= cfg.dualHiFrac && col("_ev") === 0) ||
        (frac <= cfg.dualLoFrac && col("_ev") === 1))
-    Stage.sticky(joined, fail, FlagCodes.SctDual, flagsKeep = false)
-      .drop("_ev", "_evs", "_evn")
+    dropStatCols(
+      Stage.sticky(joined, fail, FlagCodes.SctDual, flagsKeep = false),
+      "_ev", "_evs", "_evn")
   }
 
   /** Isolation check (code 800): a doc whose domain has too few alive
@@ -146,11 +317,18 @@ object Neighborhood {
     */
   def isolationOnce(df: DataFrame, cfg: CascadeConfig): DataFrame = {
     val keys = cfg.isolationKeys
-    val stats = groupStats(df, lit(1), cfg, keys = keys)
-      .select((keys.map(col) :+ col("_n")): _*)
-    val joined = df.join(broadcast(stats), keys, "left")
-    val fail = coalesce(col("_n"), lit(0L)) - lit(1) < cfg.isolationMinN
-    Stage.sticky(joined, fail, FlagCodes.Isolation, flagsKeep = false)
-      .drop("_n")
+    val statCols = keys.map(col) :+ col("_n")
+    val stats0 = groupStats(df, lit(1), cfg, keys = keys)
+    val stats = cfg.maxRefsPerGroup match {
+      case None    => stats0.select(statCols: _*)
+      case Some(_) => stats0.select(statCols :+ col("_gn"): _*)
+    }
+    // no broadcast hint: per-(domain,lang) stats are web-scale cardinality
+    val joined = df.join(stats, keys, "left")
+    val ns = when(selfInSample(cfg), lit(1L)).otherwise(lit(0L))
+    val fail = coalesce(col("_n"), lit(0L)) - ns < cfg.isolationMinN
+    dropStatCols(
+      Stage.sticky(joined, fail, FlagCodes.Isolation, flagsKeep = false),
+      "_n")
   }
 }

@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.stages._
+import graft.cascade.Cascade
+import graft.operators.Dedup
+
+/** Round-2 feature semantics: ingest dedup in the cascade path, the
+  * multi-test-configuration loop, corpus scope, per-provider SourceSpec,
+  * neighbor cap, log1p variance stabilization, sct_fg ensemble majority,
+  * model pre-clean, and behavior on a heavily skewed corpus.
+  */
+class FeatureSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Rows of `k`-word docs on one domain (url unique per row). */
+  private def corpusOf(domain: String, wordCounts: Seq[Int],
+                       textOf: Int => String = k => Seq.fill(k)("w").mkString(" ")): DataFrame =
+    wordCounts.zipWithIndex
+      .map { case (k, i) => (s"https://$domain/p/$i", domain, "en", textOf(k)) }
+      .toDF("url", "domain", "lang", "text")
+
+  private val buddyOnlyCfg = CascadeConfig(
+    buddyMinN = 5, buddyZ = 4.0,
+    enabled = Set(FlagCodes.Buddy),
+    blacklistDomains = Set.empty, keepDomains = Set.empty)
+
+  test("ingest dedup: a planted duplicate never inflates buddy statistics") {
+    // 10 inliers (~100 words) + one 300-word outlier + an exact duplicate of
+    // the outlier. With the duplicate in the stats each twin shelters the
+    // other (LOO z ≈ 3.0 < 4); after the reference's ingest-time drop
+    // (read_data_to_check.r:122-143) the survivor is exposed (z ≈ 65).
+    val base = (0 until 10).map(i => 98 + i)
+    val dup = corpusOf("h.example", base ++ Seq(300, 300))
+    val noDedup = Cascade.run(dup, buddyOnlyCfg)
+    assert(noDedup.count() === 12)
+    assert(noDedup.filter(col(Cols.Dqc) === FlagCodes.Buddy).count() === 0,
+      "twin outliers shelter each other when duplicates survive ingest")
+
+    val withDedup = Cascade.run(dup, buddyOnlyCfg.copy(dedupIngest = true))
+    assert(withDedup.count() === 11, "exactly one twin survives ingest dedup")
+    val flagged = withDedup.filter(col(Cols.Dqc) === FlagCodes.Buddy)
+      .select(Cols.NWords).as[Int].collect()
+    assert(flagged.toSeq === Seq(300), "the surviving outlier is now exposed")
+  }
+
+  test("multi-test-configuration loop: later configs see earlier flags (j loop)") {
+    // 10 inliers + moderate (160) + extreme (300). Config (z=6) flags only
+    // the extreme; a second config (z=2.5) then sees stats WITHOUT the
+    // extreme and exposes the moderate — strictly more than either alone.
+    val c = corpusOf("h.example", (0 until 10).map(98 + _) ++ Seq(160, 300))
+    val single = Cascade.run(c, buddyOnlyCfg.copy(buddyParams = Seq(BuddyParams(5, 6.0))))
+    assert(single.filter(col(Cols.Dqc) === FlagCodes.Buddy)
+      .select(Cols.NWords).as[Int].collect().toSeq === Seq(300))
+    val multi = Cascade.run(c, buddyOnlyCfg.copy(
+      buddyParams = Seq(BuddyParams(5, 6.0), BuddyParams(5, 2.5))))
+    assert(multi.filter(col(Cols.Dqc) === FlagCodes.Buddy)
+      .select(Cols.NWords).as[Int].collect().sorted.toSeq === Seq(160, 300))
+  }
+
+  test("corpus scope: warc_ts window prunes rows before any check") {
+    val rows = (0 until 20).map { i =>
+      (s"https://h.example/$i", new java.sql.Timestamp(1700000000000L + i * 86400000L),
+        "en", Seq.fill(50)("w").mkString(" "))
+    }.toDF("url", "warc_ts", "lang", "text")
+    val cfg = buddyOnlyCfg.copy(
+      tsMin = Some(new java.sql.Timestamp(1700000000000L + 5 * 86400000L)),
+      tsMax = Some(new java.sql.Timestamp(1700000000000L + 15 * 86400000L)))
+    val out = Cascade.run(rows, cfg)
+    assert(out.count() === 10)
+    val ts = out.select(min(col(Cols.WarcTs)), max(col(Cols.WarcTs))).collect()(0)
+    assert(ts.getTimestamp(0).getTime === 1700000000000L + 5 * 86400000L)
+    assert(ts.getTimestamp(1).getTime === 1700000000000L + 14 * 86400000L)
+  }
+
+  test("per-provider SourceSpec: remap + affine rescale normalize two shapes") {
+    val a = Seq(("https://a.example/1", "body text here of source a", "en", 10.0))
+      .toDF("page_url", "body", "language", "score")
+    val b = Seq(("https://b.example/1", "canonical text of source b", "en", 3.0))
+      .toDF("url", "text", "lang", "score")
+    val unioned = Ingest.unionSources(Seq(
+      a -> SourceSpec(
+        remap = Map("page_url" -> "url", "body" -> "text", "language" -> "lang"),
+        affine = Map("score" -> (1.0, 2.0))),   // 1 + 2·x
+      b -> SourceSpec()))
+    assert(unioned.columns.toSet === Set("url", "text", "lang", "score"))
+    val rows = unioned.orderBy("url").collect()
+    assert(rows(0).getString(0) === "https://a.example/1")
+    assert(rows(0).getDouble(3) === 21.0)
+    assert(rows(1).getDouble(3) === 3.0)
+    // and the canonical frame flows through normalize unchanged
+    val n = Ingest.normalize(unioned, buddyOnlyCfg)
+    assert(n.count() === 2)
+    assert(n.columns.contains(Cols.Domain))
+  }
+
+  test("neighbor cap: giant group judged against a bounded deterministic sample") {
+    val big = corpusOf("big.example", (0 until 500).map(i => 100 + (i % 5)) :+ 500)
+    val cfg = buddyOnlyCfg.copy(maxRefsPerGroup = Some(50))
+    val out1 = Cascade.run(big, cfg)
+    val out2 = Cascade.run(big.repartition(13), cfg)
+    val f1 = out1.filter(col(Cols.Dqc) === FlagCodes.Buddy)
+      .select(Cols.Url).as[String].collect().sorted.toSeq
+    val f2 = out2.filter(col(Cols.Dqc) === FlagCodes.Buddy)
+      .select(Cols.Url).as[String].collect().sorted.toSeq
+    assert(f1 === f2, "hash-proportional sampling is parallelism-invariant")
+    assert(f1.length === 1 && f1.head.endsWith("/500"),
+      s"only the planted outlier is flagged, got $f1")
+  }
+
+  test("log1p variance stabilization: heavy tail stops z false-positives") {
+    // geometric word counts (heavy tail): on the raw scale the max looks
+    // like an outlier (z ≈ 7); after log1p the same data is a uniform ramp
+    // (z ≈ 1.6) and nothing is flagged.
+    val geo = (0 until 15).map(k => 10 * (1 << k))
+    val c = corpusOf("h.example", geo)
+    val raw = Cascade.run(c, buddyOnlyCfg.copy(buddyZ = 3.0))
+    assert(raw.filter(col(Cols.Dqc) === FlagCodes.Buddy).count() >= 1)
+    val logd = Cascade.run(c, buddyOnlyCfg.copy(buddyZ = 3.0, buddyLog1p = true))
+    assert(logd.filter(col(Cols.Dqc) === FlagCodes.Buddy).count() === 0)
+  }
+
+  test("sct_fg votes per ensemble member with majority >= (n+1)/2") {
+    val df = Seq(
+      (1L, 1.0, 1.0, 9.0),   // 1 of 3 members over the bound → keep
+      (2L, 9.0, 9.0, 1.0),   // 2 of 3 → flag
+      (3L, 9.0, 9.0, 9.0))   // 3 of 3 → flag
+      .toDF("id", s"${Cols.LogPpl}0", s"${Cols.LogPpl}1", s"${Cols.LogPpl}2")
+      .withColumn(Cols.Dqc, lit(null).cast("int"))
+      .withColumn(Cols.Doit, lit(1))
+    val out = ModelChecks.sctFg(df, CascadeConfig(maxLogPpl = 8.0), nMembers = 3)
+      .select(col("id"), col(Cols.Dqc)).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(out === Map(1L -> -1, 2L -> FlagCodes.SctFg, 3L -> FlagCodes.SctFg))
+  }
+
+  test("model pre-clean: junk training rows never reach the LM (radar-DQC analog)") {
+    val clean = (0 until 40).map(i =>
+      (s"the quick brown fox number $i jumps over the lazy dog again", "en"))
+    val junk = Seq(("zzqq zzqq", "en"), ("$$$ ### !!! %%% ^^^ &&& *** ((( ))) ___", "en"))
+    val df = (clean ++ junk).toDF("text", "lang")
+    val m = Models.train(spark, df)        // preClean = true by default
+    val lm = m.lms.head
+    assert(!lm.counts.contains(lm.key(Seq("zzqq"))),
+      "junk token must be filtered out of training")
+    assert(lm.counts.contains(lm.key(Seq("fox"))))
+    val mDirty = Models.train(spark, df, preClean = false)
+    val lmD = mDirty.lms.head
+    assert(lmD.counts.contains(lmD.key(Seq("zzqq"))),
+      "without pre-clean the junk token is learned")
+  }
+
+  test("skewed corpus (one domain >= 50% of rows): neighborhood family completes " +
+       "deterministically with salted aggregation") {
+    val bigRows = (0 until 1200).map(i =>
+      (s"https://bighost.example/$i", "bighost.example", "en",
+        Seq.fill(100 + (i % 7))("w").mkString(" ")))
+    val rest = (0 until 800).map { i =>
+      val d = s"host${i % 5}.example"
+      (s"https://$d/$i", d, "en", Seq.fill(95 + (i % 11))("w").mkString(" "))
+    }
+    val df = (bigRows ++ rest).toDF("url", "domain", "lang", "text")
+    val cfg = buddyOnlyCfg.copy(
+      enabled = Set(FlagCodes.Buddy, FlagCodes.Sct, FlagCodes.SctDual, FlagCodes.Isolation),
+      buddyZ = 3.0, sctMinN = 5, sctZ = 3.0, dualMinN = 5, dualEventWords = 104,
+      isolationMinN = 3)
+    val a = Cascade.run(df, cfg).groupBy(Cols.Dqc).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val b = Cascade.run(df.repartition(17), cfg).groupBy(Cols.Dqc).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(a === b, "flags are identical at any parallelism")
+    assert(a.values.sum === 2000)
+  }
+
+  test("simhash64: identical text = identical words; banded pairs find the dup") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "entirely unrelated content about databases and storage")
+    ).toDF("doc_id", "text")
+    val h = Dedup.simhash64(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getInt)).toMap
+    assert(h(1L) === h(2L))
+    assert(h(1L) !== h(3L))
+    val pairs = Dedup.simhashPairs64(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("scrub report: exact least-squares on a synthetic linear relation") {
+    // raw = k chars + " 555-123-4567" (13) → scrubbed = k + " <PHONE>" (8):
+    // y = x − 5 exactly, so slope must be exactly 1.0 and intercept −5.0
+    val df = (10 to 30 by 5).map(k =>
+      (s"https://h.example/$k", "h.example", "x" * k + " 555-123-4567"))
+      .toDF("url", Cols.Domain, "text")
+      .withColumn("_scr", graft.ml.Scrubber.scrub(col("text")))
+    val rep = ModelChecks.scrubReport(df, col("text"), col("_scr")).collect()
+    assert(rep.length === 1)
+    assert(rep(0).getAs[Double]("slope") === 1.0)
+    assert(rep(0).getAs[Double]("intercept") === -5.0)
+  }
+}

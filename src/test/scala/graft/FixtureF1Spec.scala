@@ -59,6 +59,7 @@ class FixtureF1Spec extends SparkSpec {
     assert(f1(labeled, !col(Cols.KeepCol), col("ge") === 1)._1 >= 0.99))
 
   test("metadata (901) F1")(perCheckF1(901))
+  test("cross-field (301) F1")(perCheckF1(301))
   test("lang mismatch (902) F1")(perCheckF1(902))
   test("plausibility (501) F1")(perCheckF1(501))
   test("lang bounds (502) F1")(perCheckF1(502))
