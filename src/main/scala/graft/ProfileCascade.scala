@@ -40,7 +40,7 @@ object ProfileCascade {
           PagesGen.exemplarTexts()).zipWithIndex.foreach {
         case (s, i) =>
           if (s.selfRef) {
-            df = df.localCheckpoint(true)
+            df = Cascade.materialize(df, eager = true)
             lap(f"rep$rep stage$i%02d code=${s.code} CKPT")
           }
           df = s.f(df)
@@ -48,6 +48,8 @@ object ProfileCascade {
       val n = Cascade.finalDecision(df)
         .filter(org.apache.spark.sql.functions.col("keep")).count()
       lap(f"rep$rep tail+count keep=$n")
+      ScalingBench.reapCheckpoints(spark)
+      lap(f"rep$rep reap")
     }
     spark.stop()
   }

@@ -42,6 +42,23 @@ object ProfileNarrow {
       RowChecks.langBounds.transform(
         RowChecks.plausibility.transform(
           RowChecks.langMismatchHeuristic.transform(afterScrub, cfg), cfg), cfg))
+
+    // model-UDF bisect: langid alone, each LM member, then the full
+    // withModelFeatures projection as the cascade runs it
+    import org.apache.spark.sql.functions._
+    val models = Models.train(spark,
+      PagesGen.generateWithClass(spark, 10000L)
+        .filter(col("clazz") === "clean").select("text", "lang"))
+    val bc = spark.sparkContext.broadcast(models)
+    val detUdf = udf((t: String) => bc.value.langId.detect(t))
+    time("+udf langid only")(afterScrub.withColumn("_det", detUdf(col("text"))))
+    models.lms.indices.foreach { i =>
+      val pplUdf = udf((t: String) => bc.value.lms(i).logPerplexity(t))
+      time(s"+udf ppl member$i only")(afterScrub.withColumn("_p", pplUdf(col("text"))))
+    }
+    time("+withModelFeatures(all)")(ModelChecks.withModelFeatures(afterScrub, models))
+    time("+crossField")(RowChecks.crossField.transform(
+      ModelChecks.withModelFeatures(afterScrub, models), cfg))
     spark.stop()
   }
 }

@@ -42,12 +42,25 @@ object ScalingBench {
     labeled.filter(org.apache.spark.sql.functions.col("keep")).count()
   }
 
-  def timeBest(reps: Int)(f: => Unit): Double = {
+  /** Free checkpoint blocks left by a completed run — measurement hygiene:
+    * without this a second rep starts with the previous rep's blocks still
+    * pinned and measures eviction, not the job.
+    */
+  def reapCheckpoints(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+
+  def timeBest(reps: Int, spark: SparkSession)(f: => Unit): Double = {
     var best = Double.MaxValue
-    for (_ <- 1 to reps) {
+    for (r <- 1 to reps) {
       val t0 = System.nanoTime()
       f
-      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      val t = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scaling] rep$r ${t}%.1f s")
+      best = math.min(best, t)
+      reapCheckpoints(spark)
     }
     best
   }
@@ -56,25 +69,33 @@ object ScalingBench {
     val nDocs = if (args.length > 0) args(0).toLong else 200000L
     val outJson = if (args.length > 1) Some(args(1)) else None
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // reuse a previously generated corpus dir (pages.parquet + warmup.parquet)
+    val reuseDir = sys.env.get("SPARK_GRAFT_CORPUS_DIR")
 
     // materialize the identical input once (32-way for generation speed);
     // a small warm-up slice compiles codegen/JIT without paying a full pass
     val gen = session(32)
-    val dir = Files.createTempDirectory("scalingbench").toString
+    val dir = reuseDir.getOrElse(Files.createTempDirectory("scalingbench").toString)
     val corpusPath = s"$dir/pages.parquet"
     val warmupPath = s"$dir/warmup.parquet"
-    PagesGen.generate(gen, nDocs).write.parquet(corpusPath)
-    PagesGen.generate(gen, math.min(nDocs, 100000L)).write.parquet(warmupPath)
+    if (reuseDir.isEmpty) {
+      PagesGen.generate(gen, nDocs).write.parquet(corpusPath)
+      PagesGen.generate(gen, math.min(nDocs, 100000L)).write.parquet(warmupPath)
+    }
+    System.err.println(s"[scaling] corpus ready at $dir")
     val models = Models.train(gen,
       PagesGen.generateWithClass(gen, 10000L)
         .filter(org.apache.spark.sql.functions.col("clazz") === "clean")
         .select("text", "lang"))
     gen.stop()
+    System.err.println("[scaling] models trained")
 
     val results = Seq(8, 32).map { cores =>
       val s = session(cores)
       cascadeJob(s, warmupPath, models) // warm-up (JIT, codegen, footer cache)
-      val best = timeBest(reps)(cascadeJob(s, corpusPath, models))
+      reapCheckpoints(s)
+      System.err.println(s"[scaling] local[$cores] warmed")
+      val best = timeBest(reps, s)(cascadeJob(s, corpusPath, models))
       s.stop()
       cores -> best
     }.toMap

@@ -130,8 +130,13 @@ object SparkEntry {
         .orderBy("fp")),
 
     // ---- dedup operators (near-dup family) ----
-    // stop-shingle pruning (df cap) bounds the candidate-pair blowup; the
-    // oracle applies the identical cap so jaccard values stay exact
+    // CONTRACT NOTE: this query computes Jaccard over df-PRUNED shingle
+    // sets (shingles shared by more than maxShingleDf docs are dropped
+    // first — the standard stop-shingle inverted-index bound, and the only
+    // shape that survives 100 TB). Pair recall and jaccard values therefore
+    // differ from unpruned n-gram Jaccard by design; the oracle applies the
+    // identical cap so values stay exact. Call ngramJaccard with
+    // maxShingleDf = Int.MaxValue for the exact unpruned variant.
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(Docs.read(s, dir), "text", "doc_id",
           n = 3, threshold = 0.2, maxShingleDf = 100)

@@ -18,6 +18,17 @@ import graft.stages._
 object Cascade {
   import Cols._
 
+  /** Materialize a stage input (lazy local checkpoint) with SERIALIZED
+    * storage. The default deserialized level stores each row as a tree of
+    * Java objects (5–10× the raw bytes for a wide text row); at millions of
+    * docs the accumulated checkpoints evict each other and the run becomes
+    * a GC/eviction storm — serialized blocks keep the same semantics at a
+    * fraction of the heap. (Cluster form: ResumableCascade snapshots.)
+    */
+  def materialize(df: DataFrame, eager: Boolean = false): DataFrame =
+    df.localCheckpoint(eager,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** One cascade stage. `selfRef` marks the self-join shape — the stage
     * aggregates statistics over its input and joins them back, so it scans
     * the input more than once. Folding such stages over a lazy plan would
@@ -46,7 +57,7 @@ object Cascade {
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
-      cur = once(cur).localCheckpoint(true)
+      cur = materialize(once(cur), eager = true)
       val flagged = cur.filter(col(Dqc) === code).count()
       val fresh = flagged - prevFlagged
       prevFlagged = flagged
@@ -134,16 +145,28 @@ object Cascade {
     // 122-143): duplicates must never inflate neighborhood statistics.
     // Self-join-shaped, so the input is materialized like selfRef stages.
     val deduped =
-      if (cfg.dedupIngest) Ingest.dropDuplicatePages(normalized.localCheckpoint(false))
+      if (cfg.dedupIngest) Ingest.dropDuplicatePages(materialize(normalized))
       else normalized
     val prepared = Ingest.stampLists(deduped, cfg)
+    // Each selfRef stage's input is eagerly checkpointed (so its two scans
+    // share one computation), and the PREVIOUS stage's blocks — now
+    // superseded by the new leaf — are unpersisted immediately. Without
+    // this, every stage's blocks stay pinned until driver GC and a long
+    // cascade over millions of rows turns into an eviction storm. Only
+    // RDDs this run created are touched (callers' caches are left alone).
+    val sc = pages.sparkSession.sparkContext
+    var prevCkptIds: Set[Int] = Set.empty
+    def ckpt(d: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val c = materialize(d, eager = true)
+      val added = sc.getPersistentRDDs.keySet.toSet.diff(before)
+      prevCkptIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCkptIds = added
+      c
+    }
     val checked = stages(cfg, models, pseudoTexts)
-      .foldLeft(prepared) { case (d, s) =>
-        // lazy local checkpoint: replaces the logical plan with a leaf NOW
-        // (so the stage's two scans share one computation) but materializes
-        // inside the stage's first job instead of a separate pass
-        s.f(if (s.selfRef) d.localCheckpoint(false) else d)
-      }
+      .foldLeft(prepared) { case (d, s) => s.f(if (s.selfRef) ckpt(d) else d) }
     finalDecision(checked)
   }
 

@@ -31,7 +31,11 @@ object ResumableCascade {
 
     var df = lastDone match {
       case Some(i) => TableIO.read(spark, root, stageTable(i, stages(i).code))
-      case None    => Ingest.stampLists(Ingest.normalize(pages, cfg), cfg)
+      case None    =>
+        val normalized = Ingest.normalize(pages, cfg)
+        val deduped =
+          if (cfg.dedupIngest) Ingest.dropDuplicatePages(normalized) else normalized
+        Ingest.stampLists(deduped, cfg)
     }
     val startAt = lastDone.map(_ + 1).getOrElse(0)
     for (i <- startAt until stages.length) {

@@ -81,6 +81,18 @@ object TableIO {
     spark.read.parquet(tableDir(root, name).resolve(s"data/s$id").toString)
   }
 
+  /** Per-column output rounding — the reference rounds each output column
+    * to a configured number of digits just before the write
+    * (/root/reference/functions/IO/write_output.r:48-57). Applied as a
+    * plain projection so it fuses into the write stage.
+    */
+  def roundColumns(df: DataFrame, digits: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, round}
+    digits.foldLeft(df) { case (d, (c, n)) =>
+      if (d.columns.contains(c)) d.withColumn(c, round(col(c), n)) else d
+    }
+  }
+
   /** Drop uncommitted data dirs (recovery after a kill mid-write). */
   def vacuum(root: String, name: String): Unit = {
     val m = readManifest(root, name).getOrElse(Manifest(-1L, Nil))

@@ -15,6 +15,11 @@ import scala.collection.mutable
   */
 final case class LangIdModel(profiles: Map[String, Map[String, Double]]) extends Serializable {
 
+  // sorted ONCE per JVM (deterministic iteration order without re-sorting
+  // per row); @transient so serialization ships only `profiles`
+  @transient private lazy val sortedProfiles: Array[(String, Map[String, Double])] =
+    profiles.toArray.sortBy(_._1)
+
   /** (bestLang, confidence) — confidence is the margin between the best and
     * second-best cosine score, so gibberish (all scores ≈ 0) gets low
     * confidence and is NOT reported as a confident detection.
@@ -24,8 +29,7 @@ final case class LangIdModel(profiles: Map[String, Map[String, Double]]) extends
     val doc = LangId.profile(text)
     if (doc.isEmpty) return ("und", 0.0)
     var best = "und"; var bestS = 0.0; var second = 0.0
-    // deterministic iteration order
-    profiles.toSeq.sortBy(_._1).foreach { case (lang, prof) =>
+    sortedProfiles.foreach { case (lang, prof) =>
       var dot = 0.0
       doc.foreach { case (g, w) => dot += w * prof.getOrElse(g, 0.0) }
       if (dot > bestS) { second = bestS; bestS = dot; best = lang }
@@ -60,8 +64,14 @@ object LangId {
   /** Char-trigram relative-frequency profile of lowercased, space-padded
     * text (the fastText subword analog).
     */
+  // precompiled once: String.replaceAll recompiles its pattern per call
+  private val NonAlpha = java.util.regex.Pattern.compile("[^a-z ]")
+  private val MultiSpace = java.util.regex.Pattern.compile(" +")
+
   def profile(text: String): Map[String, Double] = {
-    val s = " " + text.toLowerCase.replaceAll("[^a-z ]", " ").replaceAll(" +", " ").trim + " "
+    val s = " " + MultiSpace.matcher(
+      NonAlpha.matcher(text.toLowerCase).replaceAll(" ")
+    ).replaceAll(" ").trim + " "
     if (s.length < 3) return Map.empty
     val counts = mutable.HashMap.empty[String, Int]
     var i = 0

@@ -24,52 +24,90 @@ final case class NgramLMModel(
     totalUnigrams: Long,
     vocabSize: Long) extends Serializable {
 
+  /** 64-bit-ish gram key: a double murmur mix-fold over the token hashes.
+    * Deliberately NOT scala's `orderedHash` (whose 2.13 range-detection
+    * special cases can't be replicated allocation-free); training and
+    * lookup both go through this one implementation, so consistency is by
+    * construction (FeatureSpec asserts key == sliceKey on slices).
+    */
   def key(tokens: Seq[String]): Long = {
-    val h1 = MurmurHash3.orderedHash(tokens, seed)
-    val h2 = MurmurHash3.orderedHash(tokens, seed ^ 0x5bd1e995)
-    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+    var h1 = seed
+    var h2 = seed ^ 0x5bd1e995
+    var n = 0
+    tokens.foreach { t =>
+      val eh = t.##
+      h1 = MurmurHash3.mix(h1, eh)
+      h2 = MurmurHash3.mix(h2, eh)
+      n += 1
+    }
+    (MurmurHash3.finalizeHash(h1, n).toLong << 32) |
+      (MurmurHash3.finalizeHash(h2, n).toLong & 0xffffffffL)
   }
 
-  private def count(tokens: Seq[String]): Long = counts.getOrElse(key(tokens), 0L)
+  /** Allocation-free twin of `key` over an array slice [from, until). */
+  def sliceKey(arr: Array[String], from: Int, until: Int): Long = {
+    var h1 = seed
+    var h2 = seed ^ 0x5bd1e995
+    var i = from
+    while (i < until) {
+      val eh = arr(i).##
+      h1 = MurmurHash3.mix(h1, eh)
+      h2 = MurmurHash3.mix(h2, eh)
+      i += 1
+    }
+    val n = until - from
+    (MurmurHash3.finalizeHash(h1, n).toLong << 32) |
+      (MurmurHash3.finalizeHash(h2, n).toLong & 0xffffffffL)
+  }
 
-  /** Stupid-backoff log10 score of one position. */
-  private def score(ctx: List[String], w: String): Double = {
-    var n = math.min(ctx.length, order - 1)
+  /** Stupid-backoff log10 score of position `i` — hot path: no per-level
+    * List allocations, hashes computed over array slices in place.
+    */
+  private def scoreAt(arr: Array[String], i: Int): Double = {
+    var n = math.min(i, order - 1)
     var alpha = 1.0
     while (n > 0) {
-      val gram = ctx.takeRight(n) :+ w
-      val c = count(gram)
+      val c = counts.getOrElse(sliceKey(arr, i - n, i + 1), 0L)
       if (c > 0) {
-        val cc = count(ctx.takeRight(n))
+        val cc = counts.getOrElse(sliceKey(arr, i - n, i), 0L)
         if (cc > 0) return math.log10(alpha * c.toDouble / cc.toDouble)
       }
       alpha *= 0.4
       n -= 1
     }
     // unigram with add-one smoothing over the hashed vocab
-    math.log10(alpha * (count(List(w)) + 1).toDouble /
+    math.log10(alpha * (counts.getOrElse(sliceKey(arr, i, i + 1), 0L) + 1).toDouble /
       (totalUnigrams + vocabSize + 1).toDouble)
+  }
+
+  /** Per-word log10 perplexity over pre-tokenized input (lets an ensemble
+    * share one tokenization pass). */
+  def logPerplexityTokens(toks: Array[String]): Double = {
+    if (toks == null || toks.isEmpty) return Double.MaxValue
+    var sum = 0.0
+    var i = 0
+    while (i < toks.length) {
+      sum += scoreAt(toks, i)
+      i += 1
+    }
+    -sum / toks.length
   }
 
   /** Per-word log10 perplexity of a document (higher = more surprising). */
   def logPerplexity(text: String): Double = {
     if (text == null) return Double.MaxValue
-    val toks = NgramLM.tokenize(text)
-    if (toks.isEmpty) return Double.MaxValue
-    var sum = 0.0
-    var ctx = List.empty[String]
-    toks.foreach { w =>
-      sum += score(ctx, w)
-      ctx = (ctx :+ w).takeRight(order - 1)
-    }
-    -sum / toks.length
+    logPerplexityTokens(NgramLM.tokenize(text))
   }
 }
 
 object NgramLM {
 
+  // precompiled once: String.split(regex) recompiles the pattern per call,
+  // which is measurable at millions of rows
+  private val TokenRe = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
   def tokenize(text: String): Array[String] =
-    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    TokenRe.split(text.toLowerCase).filter(_.nonEmpty)
 
   /** Distributed training over a text column: one generator pass explodes
     * every 1..order-gram, a hash-keyed two-level aggregation counts them

@@ -14,12 +14,14 @@ import graft.model.{BuddyParams, CascadeConfig, FlagCodes}
   * Scale design — deliberately NOT `Window.partitionBy(domain)`:
   * neighborhood statistics are computed with a two-level (salted)
   * `groupBy` — partial sums per (domain, salt(url)) then merge per domain —
-  * and joined back with an explicit `broadcast` of the tiny per-domain
-  * stats table. Map-side combine plus the salt level means a giant host
-  * domain (50% of a 100 TB corpus on one key) never lands on a single
-  * reducer, which `Window.partitionBy(domain)` would force. Leave-one-out
-  * aggregates are recovered algebraically from (sum, sumsq, count), so no
-  * per-row window pass is ever needed.
+  * and joined back with a plain equi-join (NO broadcast hint: the stats
+  * table has one row per domain, which on a real web corpus is 10⁷–10⁸
+  * rows; AQE broadcasts it automatically when it is actually small).
+  * Map-side combine plus the salt level means a giant host domain (50% of
+  * a 100 TB corpus on one key) never lands on a single reducer, which
+  * `Window.partitionBy(domain)` would force. Leave-one-out aggregates are
+  * recovered algebraically from (sum, sumsq, count), so no per-row window
+  * pass is ever needed.
   *
   * All sums are over integer features (exact in both Spark and the DuckDB
   * oracle); doubles appear only in the final z-score arithmetic, with the
@@ -116,7 +118,7 @@ object Neighborhood {
     configs.zipWithIndex.foldLeft(df) { case (d, (p, i)) =>
       // materialize between configurations: each round's stats pass scans
       // its input twice, and folding rounds over a lazy plan compounds
-      val in = if (i == 0) d else d.localCheckpoint(false)
+      val in = if (i == 0) d else graft.cascade.Cascade.materialize(d)
       buddyConfigRound(in, cfg, p)
     }
   }

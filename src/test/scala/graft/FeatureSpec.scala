@@ -189,6 +189,14 @@ class FeatureSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L, 0)))
   }
 
+  test("sliceKey is bit-identical to key (training/lookup hash parity)") {
+    val lm = graft.ml.NgramLMModel(3, 17, Map.empty, 0L, 0L)
+    val lm2 = graft.ml.NgramLMModel(2, 101, Map.empty, 0L, 0L)
+    val arr = Array("alpha", "beta", "gamma", "delta")
+    for (m <- Seq(lm, lm2); from <- 0 to 3; until <- from + 1 to 4)
+      assert(m.sliceKey(arr, from, until) === m.key(arr.slice(from, until).toSeq))
+  }
+
   test("scrub report: exact least-squares on a synthetic linear relation") {
     // raw = k chars + " 555-123-4567" (13) → scrubbed = k + " <PHONE>" (8):
     // y = x − 5 exactly, so slope must be exactly 1.0 and intercept −5.0

@@ -42,6 +42,15 @@ class TableIOSpec extends SparkSpec {
     assert(TableIO.read(spark, root, "t").count() === 1)
   }
 
+  test("per-column output rounding (write_output.r:48-57 parity)") {
+    import spark.implicits._
+    val df = Seq((1, 1.23456, 9.87654)).toDF("id", "a", "b")
+    val r = TableIO.roundColumns(df, Map("a" -> 2, "b" -> 0, "missing" -> 3))
+      .collect()(0)
+    assert(r.getDouble(1) === 1.23)
+    assert(r.getDouble(2) === 10.0)
+  }
+
   test("resumable cascade: restart reuses committed stages and matches a cold run") {
     val cfg = Fixture.cfg
     val pages = PagesGen.generate(spark, 600L)
