@@ -29,4 +29,28 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // legacy (non-ANSI) arithmetic: x/0 → NULL, matching the DuckDB oracle
   "-Dspark.sql.ansi.enabled=false",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+  // Pin the heap (-Xms == -Xmx): without it G1 resizes the heap
+  // continuously under the allocation-heavy filter workload, and the
+  // commit/uncommit churn (page faults + madvise + TLB shootdowns across
+  // every core) was measured burning ~90% of ALL cpu in kernel time at
+  // local[32] — the single biggest scaling killer found in this sandbox.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Back the heap with transparent huge pages (the host has THP in
+  // madvise mode). Without this the first pass over a large corpus
+  // demand-faults the heap 4 KiB at a time from 32 task threads at once
+  // and the kernel mmap_lock serializes them — measured 279 s for a stage
+  // that takes 15.6 s once the heap is faulted (8-thread run: 71 s — the
+  // contention is superlinear in thread count). 2 MiB pages cut the fault
+  // count 512x (and TLB pressure with it), which removes the contention.
+  // AlwaysPreTouch faults the whole heap in at JVM start, BEFORE any
+  // timed work. Measured matrix on this host (stage08 at local[32],
+  // 400k docs): no flags → 279 s first pass; THP without pretouch →
+  // unstable (direct-compaction storms on later passes, 78–317 s); THP
+  // with pretouch → 16–20 s on every pass at every core count. The
+  // pretouch itself is slow on this virtualized host (~13 min for 48 GiB)
+  // but it is a one-time untimed startup cost — exactly the trade a
+  // long-lived production executor makes. Enabled only when a heap size
+  // is explicitly requested (the large-corpus scaling/profiling runs);
+  // small-heap test/verify/bench JVMs skip the startup tax.
+  "-XX:+UseTransparentHugePages",
+) ++ (if (sys.env.contains("SPARK_DRIVER_MEM")) Seq("-XX:+AlwaysPreTouch") else Nil)

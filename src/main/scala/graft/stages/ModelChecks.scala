@@ -64,6 +64,14 @@ object Models {
   * closure is serialized once per executor, KenLM-style); everything else
   * stays a Catalyst expression.
   */
+/** Strong executor-side pin of a broadcast [[Models]] — see the scaladoc at
+  * the use site in [[ModelChecks.withModelFeatures]].
+  */
+private[graft] final class ModelPin(
+    bc: org.apache.spark.broadcast.Broadcast[Models]) extends Serializable {
+  @transient lazy val m: Models = bc.value
+}
+
 object ModelChecks {
   import Cols._
 
@@ -102,8 +110,17 @@ object ModelChecks {
     // tokenizations per row — measured ~4× the fused form).
     val bc = broadcastOf(df, models)
     val nMembers = models.lms.size
+    // Executor-side STRONG pin of the broadcast value. TorrentBroadcast
+    // caches its deserialized value behind a java.lang.ref.Reference — under
+    // heap pressure the reference is cleared and every `bc.value` goes back
+    // through the BlockManager, whose BlockInfoManager lock then serializes
+    // all task threads (measured: a 32-thread run at 98% kernel time in a
+    // futex storm, scaling efficiency capped at ~0.48). The @transient lazy
+    // val re-resolves once per deserialized task closure and holds a strong
+    // reference for the task's lifetime, so the per-row cost is a field read.
+    val pin = new ModelPin(bc)
     val featUdf = udf((t: String) => {
-      val m = bc.value
+      val m = pin.m
       val det = m.langId.detect(t)
       val toks = if (t == null) Array.empty[String] else graft.ml.NgramLM.tokenize(t)
       val ppls = Array.tabulate(m.lms.size)(i => m.lms(i).logPerplexityTokens(toks))
