@@ -52,5 +52,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // long-lived production executor makes. Enabled only when a heap size
   // is explicitly requested (the large-corpus scaling/profiling runs);
   // small-heap test/verify/bench JVMs skip the startup tax.
-  "-XX:+UseTransparentHugePages",
-) ++ (if (sys.env.contains("SPARK_DRIVER_MEM")) Seq("-XX:+AlwaysPreTouch") else Nil)
+) ++ (if (sys.env.contains("SPARK_DRIVER_MEM"))
+        Seq("-XX:+UseTransparentHugePages", "-XX:+AlwaysPreTouch")
+      else Nil)
