@@ -52,6 +52,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // long-lived production executor makes. Enabled only when a heap size
   // is explicitly requested (the large-corpus scaling/profiling runs);
   // small-heap test/verify/bench JVMs skip the startup tax.
-) ++ (if (sys.env.contains("SPARK_DRIVER_MEM"))
-        Seq("-XX:+UseTransparentHugePages", "-XX:+AlwaysPreTouch")
-      else Nil)
+  // see the AlwaysPreTouch matrix note above: the pair is enabled for
+  // every forked JVM — a 16 g pretouch costs ~2 min at startup and buys
+  // stable allocation-heavy phases for the whole JVM lifetime (without it
+  // the bench JVM progressively degrades: a 1 s groupBy measured at 60 s
+  // after a dozen cascade queries).
+  "-XX:+UseTransparentHugePages",
+  "-XX:+AlwaysPreTouch",
+)
