@@ -28,13 +28,23 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // legacy (non-ANSI) arithmetic: x/0 → NULL, matching the DuckDB oracle
   "-Dspark.sql.ansi.enabled=false",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // The janino compiled-class cache defaults to 100 entries; a session that
+  // runs the 36-query driver bench generates far more codegen units, so by
+  // the time the 17-stage cascade re-runs its ~30 units have been evicted
+  // and every invocation re-pays ~5 s of janino compilation (measured:
+  // q_cascade 7.3 s in-bench vs 1.7 s cold in an isolated JVM — the gap is
+  // recompilation, not execution). Sized for the full query surface.
+  "-Dspark.sql.codegen.cache.maxEntries=5000",
+  // ...and whole-stage units embed the per-query codegen-stage id in the
+  // generated CLASS NAME (debugging nicety), so two runs of the identical
+  // plan produce different source text and never hit that cache. Constant
+  // class names make re-invocations of the same pipeline compile-free.
+  "-Dspark.sql.codegen.useIdInClassName=false",
   // Pin the heap (-Xms == -Xmx): without it G1 resizes the heap
   // continuously under the allocation-heavy filter workload, and the
   // commit/uncommit churn (page faults + madvise + TLB shootdowns across
   // every core) was measured burning ~90% of ALL cpu in kernel time at
   // local[32] — the single biggest scaling killer found in this sandbox.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // Back the heap with transparent huge pages (the host has THP in
   // madvise mode). Without this the first pass over a large corpus
   // demand-faults the heap 4 KiB at a time from 32 task threads at once
@@ -49,14 +59,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // with pretouch → 16–20 s on every pass at every core count. The
   // pretouch itself is slow on this virtualized host (~13 min for 48 GiB)
   // but it is a one-time untimed startup cost — exactly the trade a
-  // long-lived production executor makes. Enabled only when a heap size
-  // is explicitly requested (the large-corpus scaling/profiling runs);
-  // small-heap test/verify/bench JVMs skip the startup tax.
-  // see the AlwaysPreTouch matrix note above: the pair is enabled for
-  // every forked JVM — a 16 g pretouch costs ~2 min at startup and buys
-  // stable allocation-heavy phases for the whole JVM lifetime (without it
-  // the bench JVM progressively degrades: a 1 s groupBy measured at 60 s
-  // after a dozen cascade queries).
-  "-XX:+UseTransparentHugePages",
-  "-XX:+AlwaysPreTouch",
-)
+  // long-lived production executor makes. The pair is enabled for EVERY
+  // forked JVM: a 16 g pretouch costs ~2 min at startup and buys stable
+  // allocation-heavy phases for the whole JVM lifetime (without it the
+  // bench JVM progressively degrades: a 1 s groupBy measured at 60 s
+  // after a dozen cascade queries). Hosts with less free memory can opt
+  // out with SPARK_GRAFT_SMALL_HEAP=1 (plain -Xmx4g, no pretouch — dev
+  // convenience only; never use it for timed runs).
+) ++ {
+  val mem = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
+  if (sys.env.contains("SPARK_GRAFT_SMALL_HEAP")) Seq("-Xmx4g")
+  else Seq(s"-Xmx$mem", s"-Xms$mem",
+    "-XX:+UseTransparentHugePages", "-XX:+AlwaysPreTouch")
+}

@@ -19,8 +19,15 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
     }
     // pre-train the broadcast models once (production loads a pre-trained
-    // model; q_cascade_full should time the cascade, not LM training)
+    // model; q_cascade_full should time the cascade, not LM training) and
+    // warm the cascade plan on the tiny sf0.001 corpus — janino compilation
+    // + JIT of the 17-stage pipeline is a one-time JVM cost (~10 s) that a
+    // long-lived executor amortizes to zero, not per-query work
     try SparkEntry.trainedModels(spark, sfDir) catch { case _: Throwable => }
+    try {
+      SparkEntry.entry(spark).count()
+      ScalingBench.reapCheckpoints(spark)
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -62,22 +62,37 @@ object OracleSql {
   def qLangMismatch(c: CascadeConfig): String = singleCheck(langMismatchFail(c), 902)
 
   /** Buddy-check z-score machinery over an alive-filtered population.
-    * `alive` is a boolean SQL expression in scope of the joined row.
+    * `alive` is a boolean SQL expression in scope of the joined row;
+    * `x` names the statistic column.
     */
-  private def buddyStats(src: String, alive: String): String =
+  private def buddyStats(src: String, alive: String, x: String = "nw"): String =
     s"""SELECT source,
-       |  CAST(SUM(CASE WHEN $alive THEN CAST(nw AS BIGINT) END) AS BIGINT) AS s,
-       |  CAST(SUM(CASE WHEN $alive THEN CAST(nw AS BIGINT) * CAST(nw AS BIGINT) END) AS BIGINT) AS q,
+       |  CAST(SUM(CASE WHEN $alive THEN CAST($x AS BIGINT) END) AS BIGINT) AS s,
+       |  CAST(SUM(CASE WHEN $alive THEN CAST($x AS BIGINT) * CAST($x AS BIGINT) END) AS BIGINT) AS q,
        |  COUNT(CASE WHEN $alive THEN 1 END) AS n
        |FROM $src GROUP BY source""".stripMargin
 
   /** mean / sd / z computed exactly as Neighborhood.buddyRound does. */
-  val buddyMean = "(CAST(s - CAST(nw AS BIGINT) AS DOUBLE) / CAST(n - 1 AS DOUBLE))"
-  val buddyVr   = "((CAST(q - CAST(nw AS BIGINT) * CAST(nw AS BIGINT) AS DOUBLE) - " +
-    "CAST(n - 1 AS DOUBLE) * mean * mean) / CAST(n - 2 AS DOUBLE))"
+  def buddyMeanX(x: String): String =
+    s"(CAST(s - CAST($x AS BIGINT) AS DOUBLE) / CAST(n - 1 AS DOUBLE))"
+  def buddyVrX(x: String): String =
+    s"((CAST(q - CAST($x AS BIGINT) * CAST($x AS BIGINT) AS DOUBLE) - " +
+      s"CAST(n - 1 AS DOUBLE) * mean * mean) / CAST(n - 2 AS DOUBLE))"
+  val buddyMean: String = buddyMeanX("nw")
+  val buddyVr: String   = buddyVrX("nw")
+
+  /** The buddy statistic: raw word count, or the fixed-point log1p
+    * (boxcox analog) when the config enables it. Empirically bit-exact
+    * cross-engine: DuckDB round(ln(1+n)·1000) == Spark round(log1p(n)·1000)
+    * for every n ≤ 10⁶ (verified exhaustively on this host).
+    */
+  def buddyXSql(c: CascadeConfig, nwExpr: String): String =
+    if (c.buddyLog1p)
+      s"CAST(round(ln(1 + CAST($nwExpr AS DOUBLE)) * 1000.0) AS BIGINT)"
+    else s"CAST($nwExpr AS BIGINT)"
 
   def qBuddy(c: CascadeConfig): String =
-    s"""WITH f AS (SELECT doc_id, source, $nw AS nw FROM documents),
+    s"""WITH f AS (SELECT doc_id, source, ${buddyXSql(c, nw)} AS nw FROM documents),
        |st AS (${buddyStats("f", "TRUE")}),
        |j AS (SELECT f.doc_id, f.nw, st.s, st.q, st.n FROM f LEFT JOIN st USING (source)),
        |m AS (SELECT doc_id, nw, s, q, n, $buddyMean AS mean FROM j),
@@ -134,6 +149,40 @@ object OracleSql {
        |SELECT doc_id, CASE WHEN n - 1 >= ${c.sctMinN} AND mad > 0.0 AND
        |  abs(CAST(x AS DOUBLE) - loomed) / (1.4826 * mad) > ${c.sctZ} THEN 1 END AS dqc
        |FROM d LEFT JOIN md USING (source) ORDER BY doc_id""".stripMargin
+
+  /** Two unrolled iterations of the sct check (mirrors Cascade.iterate with
+    * maxIter = 2 around Neighborhood.sctOnce): round 1 over everything,
+    * round 2 recomputes the order statistics and MAD over the still-alive
+    * rows only — removing an outlier changes its neighbors' statistics, so
+    * round 2 can flag rows round 1 kept (reference: buddy.r:97,209; the
+    * test inis iterate every spatial check, test/ini/ta_sct.ini:7).
+    */
+  def qSctIter(minN: Int, z: Double): String =
+    s"""WITH f AS (SELECT doc_id, source, CAST($nw AS BIGINT) AS x FROM documents),
+       |${orderStatsCtes("a", "f", "source", "x")},
+       |j1 AS (SELECT f.doc_id, f.source, f.x, ao.n,
+       |  ${popMedSumSql("ao.m0", "ao.m1", "ao.n")} AS pms,
+       |  ${looMedSql("f.x", "ao.m0", "ao.m1", "ao.m2", "ao.n")} AS loomed
+       |  FROM f LEFT JOIN ao USING (source)),
+       |e1 AS (SELECT doc_id, source, x, n, loomed, abs(x * 2 - pms) AS d2 FROM j1),
+       |${orderStatsCtes("ad", "e1", "source", "d2")},
+       |md1 AS (SELECT source, CAST(${popMedSumSql("m0", "m1", "n")} AS DOUBLE) / 4.0 AS mad FROM ado),
+       |r1 AS (SELECT e1.doc_id, e1.source, e1.x,
+       |  CASE WHEN e1.n - 1 >= $minN AND mad > 0.0 AND
+       |    abs(CAST(e1.x AS DOUBLE) - e1.loomed) / (1.4826 * mad) > $z THEN 1 END AS q1
+       |  FROM e1 LEFT JOIN md1 USING (source)),
+       |${orderStatsCtes("b", "r1", "source", "x", "q1 IS NULL")},
+       |j2 AS (SELECT r1.doc_id, r1.source, r1.x, r1.q1, bo.n,
+       |  ${popMedSumSql("bo.m0", "bo.m1", "bo.n")} AS pms,
+       |  ${looMedSql("r1.x", "bo.m0", "bo.m1", "bo.m2", "bo.n")} AS loomed
+       |  FROM r1 LEFT JOIN bo USING (source)),
+       |e2 AS (SELECT doc_id, source, x, q1, n, loomed, abs(x * 2 - pms) AS d2 FROM j2),
+       |${orderStatsCtes("bd", "e2", "source", "d2", "q1 IS NULL")},
+       |md2 AS (SELECT source, CAST(${popMedSumSql("m0", "m1", "n")} AS DOUBLE) / 4.0 AS mad FROM bdo)
+       |SELECT doc_id, CASE WHEN q1 = 1 THEN 1
+       |  WHEN q1 IS NULL AND n - 1 >= $minN AND mad > 0.0 AND
+       |    abs(CAST(x AS DOUBLE) - loomed) / (1.4826 * mad) > $z THEN 1 END AS dqc
+       |FROM e2 LEFT JOIN md2 USING (source) ORDER BY doc_id""".stripMargin
 
   def qDual(c: CascadeConfig): String =
     s"""WITH f AS (SELECT doc_id, source,
@@ -479,7 +528,19 @@ object OracleSql {
     val alive1 = "(d1 IS NULL OR d1 = 990)"
     val alive2 = "(d2 IS NULL OR d2 = 990)"
     val alive3 = "(d3 IS NULL OR d3 = 990)"
-    s"""WITH base AS (
+    // ingest-time exact duplicate drop (mirrors Ingest.dropDuplicatePages
+    // over Docs.pages, whose url is a pure function of (source, doc_id) and
+    // whose warc_ts is constant — so the min-(url, warc_ts) keeper reduces
+    // to the min url per normalized-text fingerprint)
+    val src =
+      if (!c.dedupIngest) "documents"
+      else s"""(SELECT doc_id, source, lang, text FROM (
+              |  SELECT doc_id, source, lang, text,
+              |    'https://' || source || '.example.com/d/' || doc_id AS _url,
+              |    CASE WHEN text IS NOT NULL AND length(trim(text)) > 0
+              |         THEN $fingerprint END AS _fp FROM documents)
+              | QUALIFY _fp IS NULL OR _url = min(_url) OVER (PARTITION BY _fp))""".stripMargin
+    s"""WITH base0 AS (
        |  SELECT doc_id, source, lang,
        |    $nw AS nw,
        |    CAST($nw > ${c.dualEventWords} AS INT) AS ev,
@@ -488,9 +549,10 @@ object OracleSql {
        |    ${plausFail(c)} AS f_plaus,
        |    ${langBoundsFail(c)} AS f_lb,
        |    CASE $blackCase $keepCase END AS d0
-       |  FROM documents),
+       |  FROM $src),
+       |base AS (SELECT *, ${buddyXSql(c, "nw")} AS bx FROM base0),
        |s1 AS (
-       |  SELECT doc_id, source, lang, nw, ev, CASE
+       |  SELECT doc_id, source, lang, nw, bx, ev, CASE
        |    WHEN d0 = 999 THEN 999
        |    WHEN (d0 IS NULL OR d0 = 990) AND f_meta THEN 901
        |    WHEN d0 IS NULL AND f_lm THEN 902
@@ -502,26 +564,26 @@ object OracleSql {
        |    CAST(SUM(CASE WHEN $alive1 THEN CAST(ev AS BIGINT) END) AS BIGINT) AS evs,
        |    COUNT(CASE WHEN $alive1 THEN 1 END) AS evn
        |  FROM s1 GROUP BY source),
-       |s2a AS (SELECT s1.doc_id, s1.source, s1.lang, s1.nw, s1.ev, s1.d1, t2.evs, t2.evn,
+       |s2a AS (SELECT s1.doc_id, s1.source, s1.lang, s1.nw, s1.bx, s1.ev, s1.d1, t2.evs, t2.evn,
        |    CAST(t2.evs - CAST(s1.ev AS BIGINT) AS DOUBLE) / CAST(t2.evn - 1 AS DOUBLE) AS frac
        |  FROM s1 LEFT JOIN t2 USING (source)),
-       |s2 AS (SELECT doc_id, source, lang, nw, CASE
+       |s2 AS (SELECT doc_id, source, lang, nw, bx, CASE
        |    WHEN d1 IS NULL AND evn - 1 >= ${c.dualMinN} AND
        |      ((frac >= ${c.dualHiFrac} AND ev = 0) OR (frac <= ${c.dualLoFrac} AND ev = 1))
        |    THEN 3 ELSE d1 END AS d2
        |  FROM s2a),
        |t3 AS (SELECT source,
-       |    CAST(SUM(CASE WHEN $alive2 THEN CAST(nw AS BIGINT) END) AS BIGINT) AS s,
-       |    CAST(SUM(CASE WHEN $alive2 THEN CAST(nw AS BIGINT) * CAST(nw AS BIGINT) END) AS BIGINT) AS q,
+       |    CAST(SUM(CASE WHEN $alive2 THEN CAST(bx AS BIGINT) END) AS BIGINT) AS s,
+       |    CAST(SUM(CASE WHEN $alive2 THEN CAST(bx AS BIGINT) * CAST(bx AS BIGINT) END) AS BIGINT) AS q,
        |    COUNT(CASE WHEN $alive2 THEN 1 END) AS n
        |  FROM s2 GROUP BY source),
-       |s3a AS (SELECT s2.doc_id, s2.source, s2.lang, s2.nw, s2.d2, t3.n, $buddyMean AS mean, t3.q, t3.s
+       |s3a AS (SELECT s2.doc_id, s2.source, s2.lang, s2.nw, s2.bx, s2.d2, t3.n, ${buddyMeanX("bx")} AS mean, t3.q, t3.s
        |  FROM s2 LEFT JOIN t3 USING (source)),
-       |s3b AS (SELECT doc_id, source, lang, nw, d2, n, mean, sqrt(greatest($buddyVr, 0.0)) AS sd
+       |s3b AS (SELECT doc_id, source, lang, nw, bx, d2, n, mean, sqrt(greatest(${buddyVrX("bx")}, 0.0)) AS sd
        |  FROM s3a),
        |s3 AS (SELECT doc_id, source, lang, nw, CASE
        |    WHEN d2 IS NULL AND n - 1 >= ${c.buddyMinN} AND sd > 0.0 AND
-       |      abs((CAST(nw AS DOUBLE) - mean) / sd) > ${c.buddyZ}
+       |      abs((CAST(bx AS DOUBLE) - mean) / sd) > ${c.buddyZ}
        |    THEN 10 ELSE d2 END AS d3
        |  FROM s3b),
        |${orderStatsCtes("t4", "s3", "source", "nw", alive3)},

@@ -78,11 +78,18 @@ object ScalingBench {
     val dir = reuseDir.getOrElse(Files.createTempDirectory("scalingbench").toString)
     val corpusPath = s"$dir/pages.parquet"
     val warmupPath = s"$dir/warmup.parquet"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(corpusPath))) {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(corpusPath)))
       PagesGen.generate(gen, nDocs).write.parquet(corpusPath)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(warmupPath)))
       PagesGen.generate(gen, math.min(nDocs, 100000L)).write.parquet(warmupPath)
-    }
-    System.err.println(s"[scaling] corpus ready at $dir")
+    // published throughput must reflect the corpus actually scanned: a
+    // reused dir with a different nDocs would otherwise silently skew
+    // docs_per_sec (footer-only count — cheap)
+    val actualDocs = gen.read.parquet(corpusPath).count()
+    if (actualDocs != nDocs)
+      System.err.println(
+        s"[scaling] WARNING reused corpus has $actualDocs docs (requested $nDocs); reporting $actualDocs")
+    System.err.println(s"[scaling] corpus ready at $dir ($actualDocs docs)")
     val models = Models.train(gen,
       PagesGen.generateWithClass(gen, 10000L)
         .filter(org.apache.spark.sql.functions.col("clazz") === "clean")
@@ -108,13 +115,13 @@ object ScalingBench {
     val json = if (results.size == 2 && results.contains(8) && results.contains(32)) {
       val t8 = results(8); val t32 = results(32)
       val eff = (t8 / t32) / 4.0
-      f"""{"metric":"scaling_efficiency","value":$eff%.4f,"unit":"ratio","n_docs":$nDocs,""" +
+      f"""{"metric":"scaling_efficiency","value":$eff%.4f,"unit":"ratio","n_docs":$actualDocs,""" +
         f""""t_local8_sec":$t8%.3f,"t_local32_sec":$t32%.3f,""" +
-        f""""docs_per_sec_local8":${nDocs / t8}%.1f,"docs_per_sec_local32":${nDocs / t32}%.1f,""" +
+        f""""docs_per_sec_local8":${actualDocs / t8}%.1f,"docs_per_sec_local32":${actualDocs / t32}%.1f,""" +
         f""""speedup_8_to_32":${t8 / t32}%.3f}"""
     } else {
       results.toSeq.sortBy(_._1).map { case (c, t) =>
-        f"""{"metric":"cascade_time","cores":$c,"value":$t%.3f,"unit":"sec","n_docs":$nDocs,"docs_per_sec":${nDocs / t}%.1f}"""
+        f"""{"metric":"cascade_time","cores":$c,"value":$t%.3f,"unit":"sec","n_docs":$actualDocs,"docs_per_sec":${actualDocs / t}%.1f}"""
       }.mkString("\n")
     }
     println(json)

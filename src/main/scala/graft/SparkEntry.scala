@@ -38,12 +38,27 @@ object SparkEntry {
     isolationMinN = 3,
     blacklistDomains = Set("src19"),
     keepDomains = Set("src7"),
+    // reference-shaped scale features, ON in the shipped flagship config
+    // (the reference dedups unconditionally, read_data_to_check.r:122-143;
+    // num_max_outer is never unset in its inis, test/ini/ta_sct.ini:19; and
+    // values are boxcoxed before the gaussian checks, statistics_util.r:
+    // 101-107). The neighbor cap is a no-op at oracle SFs (every group is
+    // far below it — the capped-mode algebra is then provably identical to
+    // the uncapped oracle SQL) but bounds giant hosts at corpus scale.
+    dedupIngest = true,
+    maxRefsPerGroup = Some(100000),
+    buddyLog1p = true,
     // CrossField is enabled but can never fire on Docs.pages (html is the
     // UTF-8 encoding of text, so chars(text) ≤ bytes(html) always) — the
     // qCascade oracle therefore doesn't model it; q_check_crossfield
     // exercises the predicate on a frame with genuinely divergent html
     enabled = Set(Metadata, CrossField, LangMismatch, Plausibility, LangBounds,
       SctDual, Buddy, Sct, Isolation))
+
+  /** z threshold for the convergence-iteration query (tighter than docCfg's
+    * sctZ so that round 2 demonstrably flags more rows at the oracle SFs).
+    */
+  val SctIterZ = 2.0
 
   /** Models trained once per (application, sfDir) and reused — production
     * loads a pre-trained model; retraining inside every query invocation
@@ -91,6 +106,18 @@ object SparkEntry {
     "q_check_sct"          -> checkQ(Neighborhood.sctOnce(_, docCfg)),
     "q_check_dual"         -> checkQ(Neighborhood.dualOnce(_, docCfg)),
     "q_check_isolation"    -> checkQ(Neighborhood.isolationOnce(_, docCfg)),
+    // convergence iteration (reference iterates every spatial check,
+    // buddy.r:97,209; i.sct=10 in test/ini/ta_sct.ini:7): two rounds, the
+    // second over the round-1 survivors only — tighter z so round 2 flags
+    // strictly more than round 1 at the oracle SFs (removing an outlier
+    // shrinks its neighborhood's MAD)
+    "q_check_sct_iter" -> ((s, dir) => {
+      val itCfg = docCfg.copy(sctZ = SctIterZ, sctMaxIter = 2)
+      Cascade.iterate(norm(s, dir), itCfg.sctMaxIter, itCfg.sctBreakAt, FlagCodes.Sct)(
+        Neighborhood.sctOnce(_, itCfg))
+        .select(col("doc_id"), col(Cols.Dqc).cast("int").as("dqc"))
+        .orderBy("doc_id")
+    }),
     // cross-field (301) over html synthesized to disagree with text on a
     // deterministic subset (Docs.pages' html never can, see docCfg note)
     "q_check_crossfield" -> ((s, dir) => {
@@ -108,18 +135,25 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ---- text-analysis operators (feature pass; SURVEY.md §2.3 spatconv analog) ----
+    // the feature pass through the native single-pass TextStatsExpr (the
+    // exact path the cascade runs); the oracle keeps the built-in formulas,
+    // so this row is a direct cross-engine parity check of the native scan
     "q_text_stats" -> ((s, dir) => {
       val t = col("text")
-      Docs.read(s, dir).select(
-        col("doc_id"),
-        TextFeatures.nChars(t).as("f_nchars"),
-        TextFeatures.nWords(t).as("f_nwords"),
-        TextFeatures.meanWordLen(t).as("f_mwl"),
-        TextFeatures.symbolRatio(t).as("f_symr"),
-        TextFeatures.stopwordRatio(t, Ingest.EnStopwords).as("f_stopr"),
-        TextFeatures.distinctWordRatio(t).as("f_dwr"),
-        TextFeatures.fingerprint(t).as("f_fp")
-      ).orderBy("doc_id")
+      val st = col("_st")
+      val nw = TextFeatures.nWordsOf(st)
+      Docs.read(s, dir)
+        .withColumn("_st", TextFeatures.textStats(t))
+        .select(
+          col("doc_id"),
+          st("nchars").as("f_nchars"),
+          nw.as("f_nwords"),
+          TextFeatures.meanWordLenOf(st).as("f_mwl"),
+          TextFeatures.symbolRatioOf(st).as("f_symr"),
+          TextFeatures.stopwordRatioOf(st, nw).as("f_stopr"),
+          TextFeatures.distinctWordRatioOf(st, nw).as("f_dwr"),
+          TextFeatures.fingerprint(t).as("f_fp")
+        ).orderBy("doc_id")
     }),
 
     // ---- dedup operators ----
@@ -149,8 +183,11 @@ object SparkEntry {
     // query below is the bucket-join + exact-hamming-confirm path
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhash64(Docs.read(s, dir), "text", "doc_id").orderBy("doc_id")),
+    // maxHamming = 3: pigeonhole-complete for the 4-band bucketing (see the
+    // recall contract on Dedup.simhashPairs64 — a larger radius needs more
+    // bands, not a wider confirm filter)
     "q_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs64(Docs.read(s, dir), "text", "doc_id", maxHamming = 6)
+      Dedup.simhashPairs64(Docs.read(s, dir), "text", "doc_id", maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
     // ---- multimodal binary-column plumbing (decode step stubbed; see
@@ -314,6 +351,7 @@ object SparkEntry {
     "q_check_sct"          -> OracleSql.qSct(docCfg),
     "q_check_dual"         -> OracleSql.qDual(docCfg),
     "q_check_isolation"    -> OracleSql.qIsolation(docCfg),
+    "q_check_sct_iter"     -> OracleSql.qSctIter(docCfg.sctMinN, SctIterZ),
     "q_check_crossfield"   -> OracleSql.qCrossField,
     "q_cascade"            -> OracleSql.qCascade(docCfg),
     "q_text_stats" ->
@@ -336,7 +374,7 @@ object SparkEntry {
     "q_dedup_jaccard" -> OracleSql.qDedupJaccard(3, 0.2, 100),
     "q_dedup_minhash" -> OracleSql.qDedupMinhash(3, 2),
     "q_dedup_simhash" -> OracleSql.qSimhash64,
-    "q_simhash_pairs" -> OracleSql.qSimhashPairs64(6),
+    "q_simhash_pairs" -> OracleSql.qSimhashPairs64(3),
     "q_ann_topk"      -> OracleSql.qAnnTopK(Seq(0L, 1L, 2L, 3L, 4L), 5),
     "q_ann_pairs"     -> OracleSql.qAnnPairs(8, 0.25),
     "q_ann_ivf"       -> OracleSql.qIvfTopK(Seq(0L, 1L, 2L, 3L, 4L), 5, 8, 2),

@@ -8,7 +8,7 @@ import graft.stages._
 /** The ordered check cascade — the engine's top-level operator.
   *
   * Order is part of the spec (SURVEY.md §2.6.1; /root/reference/titan.r:115-257):
-  * metadata(901) → langMismatch(902) → crossField(301) → plausibility(501) →
+  * metadata(901) → crossField(301) → langMismatch(902) → plausibility(501) →
   * langBounds(502) → sctFgDual(4) → sctDual(3) → fgt(11) → buddy(10) →
   * sctFg(2) → sct(1) → isolation(800) → good(0). Each stage is a
   * null-guarded projection or a group-stats join; the row-local prefix fuses
@@ -18,16 +18,26 @@ import graft.stages._
 object Cascade {
   import Cols._
 
-  /** Materialize a stage input (lazy local checkpoint) with SERIALIZED
-    * storage. The default deserialized level stores each row as a tree of
-    * Java objects (5–10× the raw bytes for a wide text row); at millions of
-    * docs the accumulated checkpoints evict each other and the run becomes
-    * a GC/eviction storm — serialized blocks keep the same semantics at a
-    * fraction of the heap. (Cluster form: ResumableCascade snapshots.)
+  /** Checkpoint storage level. MEMORY_AND_DISK_SER compresses each block
+    * through the serializer — less heap, more CPU per scan;
+    * MEMORY_AND_DISK stores the UnsafeRow batches as-is — zero codec cost
+    * per scan at somewhat higher heap (SQL rows are already compact byte
+    * arrays, not object trees). The serializer CPU is a core-count-
+    * invariant cost, i.e. exactly the kind of term that caps multi-core
+    * scaling — SPARK_GRAFT_CKPT_LEVEL=ser|deser lets ScalingBench A/B it
+    * on the same corpus.
+    */
+  private val ckptLevel: org.apache.spark.storage.StorageLevel =
+    sys.env.get("SPARK_GRAFT_CKPT_LEVEL") match {
+      case Some("deser") => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      case _             => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    }
+
+  /** Materialize a stage input (lazy local checkpoint); storage level per
+    * [[ckptLevel]]. (Cluster form: ResumableCascade snapshots.)
     */
   def materialize(df: DataFrame, eager: Boolean = false): DataFrame =
-    df.localCheckpoint(eager,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    df.localCheckpoint(eager, ckptLevel)
 
   /** One cascade stage. `selfRef` marks the self-join shape — the stage
     * aggregates statistics over its input and joins them back, so it scans
@@ -170,12 +180,30 @@ object Cascade {
     finalDecision(checked)
   }
 
+  private val observeId = new java.util.concurrent.atomic.AtomicLong()
+
   /** Surviving nulls are declared good and the boolean keep column is added
     * (functions/misc/final_decision.r:9-47).
+    *
+    * The result carries an `observe` metric (total/kept counts — the
+    * final_decision.r summary line, surfaced through Spark's observation
+    * listener on batch AND streaming). The CollectMetrics node is also a
+    * deliberate OPTIMIZATION BARRIER: Catalyst never pushes a predicate
+    * below it (that would change the observed counts), so a consumer's
+    * `filter(keep)` cannot be substituted down through the ~14 stacked
+    * flag projections — that substitution duplicates the dqc chain once
+    * per reference per layer (exponential; measured blowing janino's 64 KB
+    * method limit, which silently disabled whole-stage codegen for the
+    * entire row-local chain) and re-evaluates the whole cascade inside the
+    * scan filter. Consumers filter on the materialized label instead,
+    * which is both the compiling plan and the cheaper one.
     */
   def finalDecision(df: DataFrame): DataFrame =
     df.withColumn(Dqc, coalesce(col(Dqc), lit(FlagCodes.Good)))
       .withColumn(KeepCol, col(Dqc) === FlagCodes.Good || col(Dqc) === FlagCodes.Keep)
+      .observe(s"graft_cascade_${observeId.incrementAndGet()}",
+        count(lit(1)).as("n_docs"),
+        sum(col(KeepCol).cast("long")).as("n_keep"))
 
   /** Check-level reject counts per provider plus per-partition lineage —
     * the metrics table the north rule requires (reference prints the same

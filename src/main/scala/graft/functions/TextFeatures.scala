@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   */
 object TextFeatures {
 
+  /** English stopwords used by the stopword-ratio feature. Fixed, small,
+    * inlined into the generated code (broadcast-equivalent).
+    */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
   /** Character count (code points; fixtures are ASCII). */
   def nChars(t: Column): Column = length(t)
 
@@ -99,10 +104,10 @@ object TextFeatures {
   // contract); the struct is computed once per row by one native expression
   // and the features become integer arithmetic on its fields.
 
-  /** The five char-class counts in one native pass (struct column). */
-  def textStats(t: Column): Column =
+  /** The seven counts in one native pass (struct column). */
+  def textStats(t: Column, stopwords: Seq[String] = EnStopwords): Column =
     org.apache.spark.sql.GraftColumns.of(
-      TextStatsExpr(org.apache.spark.sql.GraftColumns.exprOf(t)))
+      TextStatsExpr(org.apache.spark.sql.GraftColumns.exprOf(t), stopwords))
 
   /** nWords from stats: blank text (only spaces) has 0 words. */
   def nWordsOf(st: Column): Column =
@@ -125,6 +130,20 @@ object TextFeatures {
 
   def distinctWordRatioOver(t: Column, nw: Column): Column =
     when(nw > 0, size(array_distinct(split(t, " "))).cast("double") / nw.cast("double"))
+
+  /** Stopword ratio from the native stats struct. Each per-word hit count is
+    * an exactly-integral double in the built-in formula, and summing exact
+    * small integers as doubles is exact, so nstophits/nw is bit-identical to
+    * `stopwordRatioOver` (and to the oracle's replace-chain form).
+    */
+  def stopwordRatioOf(st: Column, nw: Column): Column =
+    when(nw > 0, st("nstophits").cast("double") / nw.cast("double"))
+
+  /** Distinct-word ratio from the native stats struct (== the
+    * split/array_distinct formula, see TextStatsExpr's parity contract).
+    */
+  def distinctWordRatioOf(st: Column, nw: Column): Column =
+    when(nw > 0, st("ndistinct").cast("double") / nw.cast("double"))
 
   /** Canonical whitespace-normalized form used for fingerprinting. */
   def normalized(t: Column): Column =

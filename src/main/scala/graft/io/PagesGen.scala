@@ -65,7 +65,14 @@ object PagesGen {
     fgDualDigitRatio = 0.2, fgDualMinN = 5, fgDualLoFrac = 0.1, fgDualHiFrac = 0.95,
     isolationMinN = 3, isolationKeys = Seq("domain", "lang"),
     blacklistDomains = Set(BlackDomain),
-    keepDomains = Set(KeepDomain))
+    keepDomains = Set(KeepDomain),
+    // reference-shaped scale features ON (see docCfg): unconditional ingest
+    // dedup, neighbor cap for the 30%-of-corpus bighost skew case, and the
+    // boxcox/log1p variance stabilizer in the buddy z — the ScalingBench
+    // pipeline is the one the reference actually runs
+    dedupIngest = true,
+    maxRefsPerGroup = Some(10000),
+    buddyLog1p = true)
 
   val AllClasses: Seq[String] = Seq(
     "clean", "backfill", "meta", "short", "wronglang", "lowstop", "symbol",

@@ -26,47 +26,27 @@ object Scrubber {
   val PhoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
 
   /** Fixed order: email → ssn → phone (disjoint patterns; order fixed so
-    * the byte-identity oracle is stable).
+    * the byte-identity oracle is stable). One native call — same
+    * java.util.regex engine and order as the previous `regexp_replace`
+    * chain, but a single compact codegen block with patterns compiled once
+    * (see functions/ScrubExprs.scala).
     */
   def scrub(t: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(t, EmailRe, "<EMAIL>"),
-        SsnRe, "<SSN>"),
-      PhoneRe, "<PHONE>")
+    org.apache.spark.sql.GraftColumns.of(
+      graft.functions.ScrubExpr(org.apache.spark.sql.GraftColumns.exprOf(t)))
 
   /** Plain-Scala twin of `scrub` for driver-side expected-value tests. */
-  def scrubString(s: String): String =
-    s.replaceAll(EmailRe, "<EMAIL>")
-      .replaceAll(SsnRe, "<SSN>")
-      .replaceAll(PhoneRe, "<PHONE>")
+  def scrubString(s: String): String = graft.functions.ScrubPatterns.scrub(s)
 
   /** Deterministic HTML→text: drop script/style subtrees, strip tags,
-    * decode the five core entities, collapse whitespace. Column-level.
+    * decode the five core entities, collapse whitespace. One native call
+    * (same regex engine/order as the previous 8-deep chain).
     */
-  def extractText(html: Column): Column = {
-    val noScript = regexp_replace(decode(html, "UTF-8"),
-      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
-    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
-    val decoded =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(noTags, "&amp;", "&"),
-              "&lt;", "<"),
-            "&gt;", ">"),
-          "&quot;", "\""),
-        "&#39;", "'")
-    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
-  }
+  def extractText(html: Column): Column =
+    org.apache.spark.sql.GraftColumns.of(
+      graft.functions.HtmlExtractExpr(org.apache.spark.sql.GraftColumns.exprOf(html)))
 
   /** Plain-Scala twin of `extractText`. */
-  def extractTextString(html: String): String = {
-    val noScript = html.replaceAll("(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
-    val noTags = noScript.replaceAll("<[^>]*>", " ")
-    val decoded = noTags.replaceAll("&amp;", "&").replaceAll("&lt;", "<")
-      .replaceAll("&gt;", ">").replaceAll("&quot;", "\"").replaceAll("&#39;", "'")
-    decoded.replaceAll("[ \\t\\n\\r]+", " ").trim
-  }
+  def extractTextString(html: String): String =
+    graft.functions.ScrubPatterns.extract(html.getBytes("UTF-8")).toString
 }

@@ -76,6 +76,15 @@ final case class Bounds(min: Double, max: Double) {
   */
 final case class BuddyParams(minN: Int, z: Double)
 
+/** One sct configuration — the reference's four spatial drivers share the
+  * same `j` configuration-loop skeleton (sct_resistant.r runs the identical
+  * loop as buddy.r:101; each j sees the flags the previous stamped).
+  */
+final case class SctParams(minN: Int, z: Double)
+
+/** One sct_dual configuration (sct_dual_r.r shares the same `j` skeleton). */
+final case class DualParams(minN: Int, eventWords: Int, loFrac: Double, hiFrac: Double)
+
 /** Per-provider ingest shaping — the reference's per-provider header remap +
   * affine rescale applied before any check sees the data
   * (/root/reference/functions/IO/read_data_to_check.r:50-84: `varname.*`
@@ -133,11 +142,18 @@ final case class CascadeConfig(
     sctZ: Double = 3.0,
     sctMaxIter: Int = 1,
     sctBreakAt: Long = 0L,
+    // multi-test-configuration loop for sct (reference `j` loop, the shared
+    // skeleton of all four spatial drivers); empty = single configuration
+    // from (sctMinN, sctZ)
+    sctParams: Seq[SctParams] = Nil,
     // sct_dual (3) — binary event consistency
     dualMinN: Int = 5,
     dualEventWords: Int = 60,
     dualLoFrac: Double = 0.2,
     dualHiFrac: Double = 0.8,
+    // multi-test-configuration loop for sct_dual; empty = single
+    // configuration from the dual* scalars above
+    dualParams: Seq[DualParams] = Nil,
     // fgt (11) — deviation vs broadcast model mean/sd, ensemble majority
     fgtZ: Double = 4.0,
     fgtSdFloor: Double = 0.3, // dispersion floor so near-constant corpora don't over-flag

@@ -175,30 +175,19 @@ object Dedup {
   /** Portable 64-bit SimHash, exposed as four 16-bit words sh0..sh3 (word j
     * = bits 16j..16j+15; four ints sidestep BIGINT sign pitfalls in the SQL
     * oracle while carrying the full 64 bits). Same md5-nibble construction
-    * as simhash16, over the first 16 nibbles of each token's md5.
+    * as simhash16, over the first 16 nibbles of each token's md5 — but
+    * computed by ONE native single-pass expression per row
+    * (functions/SimHash64Expr): no token explode, no 64-aggregate shuffle.
+    * Docs with zero non-empty tokens produce no row (exploded-form parity).
     */
   def simhash64(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .withColumn("h", md5(col("w")))
-    def nibble(pos: Int): Column =
-      (0 until 16).foldLeft(lit(0)) { (acc, v) =>
-        when(substring(col("h"), pos + 1, 1) === "0123456789abcdef".charAt(v).toString,
-          lit(v)).otherwise(acc)
-      }
-    val withNibs = (0 until 16).foldLeft(tok)((d, j) => d.withColumn(s"nib$j", nibble(j)))
-    val sums = (0 until 64).map { b =>
-      val nib = col(s"nib${b / 4}")
-      val bit = floor(nib / math.pow(2, b % 4).toInt).cast("int") % 2
-      sum(bit * 2 - 1).as(s"s$b")
-    }
-    val agg = withNibs.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
-    val words = (0 until 4).map { j =>
-      (0 until 16).map { b0 =>
-        when(col(s"s${16 * j + b0}") > 0, lit(1 << b0)).otherwise(lit(0))
-      }.reduce(_ + _).as(s"sh$j")
-    }
-    agg.select(col(idCol) +: words: _*)
+    val sig = org.apache.spark.sql.GraftColumns.of(
+      graft.functions.SimHash64Expr(
+        org.apache.spark.sql.GraftColumns.exprOf(col(textCol))))
+    df.select(col(idCol), sig.as("_sig"))
+      .filter(col("_sig.ntok") > 0)
+      .select(col(idCol), col("_sig.sh0").as("sh0"), col("_sig.sh1").as("sh1"),
+        col("_sig.sh2").as("sh2"), col("_sig.sh3").as("sh3"))
   }
 
   /** Banded 64-bit SimHash near-dup pairs — the 100 TB shape: explode the
@@ -207,9 +196,17 @@ object Dedup {
     * bands), dedup candidates, then confirm with the exact hamming distance
     * over the full 64 bits. 4×65 536 buckets per band and candidates bounded
     * by true near-dups + band-collisions — never all-pairs.
+    *
+    * RECALL CONTRACT: with 4 bands the pigeonhole guarantee only covers
+    * hamming ≤ 3 — a pair at distance 4..6 differing in all four bands
+    * would be silently missed — so `maxHamming` is required ≤ 3. Callers
+    * wanting a larger radius must raise the band count (bands > maxHamming)
+    * rather than widen the confirm filter.
     */
   def simhashPairs64(df: DataFrame, textCol: String, idCol: String,
                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"maxHamming=$maxHamming exceeds the 4-band pigeonhole recall guarantee (<= 3)")
     // materialize the signature once: it feeds both join sides + the confirm
     val h = simhash64(df, textCol, idCol).localCheckpoint(false)
     val keyed = h.select(col(idCol),

@@ -15,10 +15,11 @@ import graft.model.{CascadeConfig, FlagCodes}
 object Ingest {
   import Cols._
 
-  /** English stopwords used by the stopword-ratio feature. Fixed, small,
-    * inlined into the generated code (broadcast-equivalent).
+  /** English stopwords used by the stopword-ratio feature (owned by
+    * TextFeatures so the native stats expression can fold the hit count
+    * into its single scan).
     */
-  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val EnStopwords: Seq[String] = TextFeatures.EnStopwords
 
   /** Registered-domain from url — the "provider" key (TITAN prid,
     * read_data_to_check.r:91). Pure string ops, portable to the oracle.
@@ -75,10 +76,13 @@ object Ingest {
     derive(df.withColumn(Stats, TextFeatures.textStats(col(Text))))
 
   /** Scalar features from an existing stats struct (cheap; re-run after any
-    * text rewrite that refreshed the struct, e.g. the backfill).
+    * text rewrite that refreshed the struct, e.g. the backfill). Every
+    * feature — including the stopword and distinct-word ratios — is now
+    * plain arithmetic over the struct fields: the giant replace/split
+    * expression trees that used to blow past janino's 64 KB method limit
+    * (killing whole-stage codegen for the fused row-local chain) are gone.
     */
   def derive(df: DataFrame): DataFrame = {
-    val t = col(Text)
     val st = col(Stats)
     val nw = TextFeatures.nWordsOf(st)
     df
@@ -86,8 +90,8 @@ object Ingest {
       .withColumn(NWords, nw)
       .withColumn(MeanWordLen, TextFeatures.meanWordLenOf(st))
       .withColumn(SymbolRatio, TextFeatures.symbolRatioOf(st))
-      .withColumn(StopRatio, TextFeatures.stopwordRatioOver(t, EnStopwords, col(NWords)))
-      .withColumn(DistinctWordRatio, TextFeatures.distinctWordRatioOver(t, col(NWords)))
+      .withColumn(StopRatio, TextFeatures.stopwordRatioOf(st, col(NWords)))
+      .withColumn(DistinctWordRatio, TextFeatures.distinctWordRatioOf(st, col(NWords)))
       .withColumn(DigitRatio, TextFeatures.digitRatioOf(st))
   }
 
@@ -103,23 +107,41 @@ object Ingest {
     val keep =
       if (cfg.keepDomains.isEmpty) lit(false)
       else col(Domain).isin(cfg.keepDomains.toSeq: _*)
+    // single dqc reference (coalesce form) — see Stage.sticky's scaladoc on
+    // why multi-reference flag rewrites explode pushed-down predicates
     df.withColumn(Dqc,
-      when(col(Dqc).isNull && black, lit(FlagCodes.Blacklist))
-        .when(col(Dqc).isNull && keep, lit(FlagCodes.Keep))
-        .otherwise(col(Dqc)))
+      coalesce(col(Dqc),
+        when(black, lit(FlagCodes.Blacklist)).when(keep, lit(FlagCodes.Keep))))
   }
 
   /** Ingest-time exact duplicate drop — the reference removes duplicated
     * stations BEFORE any check runs so duplicates never pollute
     * neighborhood statistics (read_data_to_check.r:122-143, keep the first).
-    * Keeper = minimum url per normalized-text fingerprint: aggregation +
-    * semi-join, no window, skew-safe (the keeper table has one row per
-    * distinct content).
+    * Keeper = minimum (url, warc_ts) per normalized-text fingerprint:
+    * aggregation + semi-join, no window, skew-safe (the keeper table has
+    * one row per distinct content). The timestamp tiebreak matters for the
+    * most common crawl duplicate — recrawls of one page share the url, so a
+    * url-only keeper would keep every recrawl; here exactly the earliest
+    * crawl survives. Rows identical in all three of (fingerprint, url,
+    * warc_ts) are collapsed to one by the final dropDuplicates (they are
+    * interchangeable modulo raw html bytes — the normalized text is equal
+    * by construction).
     */
   def dropDuplicatePages(df: DataFrame): DataFrame = {
-    val withFp = df.withColumn("_fp", TextFeatures.fingerprint(col(Text)))
-    val keepers = withFp.groupBy(col("_fp")).agg(min(col(Url)).as(Url))
-    withFp.join(keepers, Seq("_fp", Url), "left_semi").drop("_fp")
+    val keyCols = if (df.columns.contains(WarcTs)) Seq(Url, WarcTs) else Seq(Url)
+    // Blank text is NOT deduplicable content: those rows carry their payload
+    // in html (pending backfill) or are metadata-check fodder — collapsing
+    // every empty-text row to one "keeper" would silently delete them. They
+    // bypass via a null fingerprint (null keys never match a semi-join).
+    val hasContent = col(Text).isNotNull && length(trim(col(Text))) > 0
+    val withFp = df.withColumn("_fp",
+      when(hasContent, TextFeatures.fingerprint(col(Text))))
+    val keepers = withFp.filter(col("_fp").isNotNull).groupBy(col("_fp"))
+      .agg(min(struct(keyCols.map(col): _*)).as("_k"))
+      .select(col("_fp") +: keyCols.map(k => col("_k")(k).as(k)): _*)
+    val deduped = withFp.join(keepers, "_fp" +: keyCols, "left_semi")
+      .dropDuplicates("_fp" +: keyCols)
+    deduped.unionByName(withFp.filter(col("_fp").isNull)).drop("_fp")
   }
 
   /** Per-provider ingest shaping + union — the reference's per-provider
@@ -145,18 +167,28 @@ object Ingest {
     sources.map { case (df, spec) => applySourceSpec(df, spec) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
-  /** Large-list variant: broadcast anti/semi join against a DataFrame of
-    * (domain) or (url) keys — the scan-time form the reference applies via
-    * sourceId files (read_data_to_check.r:212-222).
+  /** Large-list variant: broadcast joins against DataFrames of (domain) or
+    * (url) keys — the scan-time form the reference applies via sourceId
+    * files, blacklist AND keeplist (read_data_to_check.r:95-119,212-222).
+    * Blacklist wins; keep only stamps still-null rows, exactly like the
+    * inline `stampLists`. The broadcast hint is correct here: a curated
+    * block/keep list is human-maintained (≤ millions of keys), never
+    * corpus-sized.
     */
-  def stampListsJoin(df: DataFrame, blacklist: DataFrame, keyCol: String): DataFrame = {
-    val marked = df.join(
+  def stampListsJoin(df: DataFrame, blacklist: DataFrame, keyCol: String,
+                     keeplist: Option[DataFrame] = None): DataFrame = {
+    val marked0 = df.join(
       broadcast(blacklist.select(col(keyCol)).distinct()
         .withColumn("__black", lit(1))),
       Seq(keyCol), "left")
+    val marked = keeplist.fold(marked0.withColumn("__keep", lit(null).cast("int")))(k =>
+      marked0.join(
+        broadcast(k.select(col(keyCol)).distinct().withColumn("__keep", lit(1))),
+        Seq(keyCol), "left"))
     marked.withColumn(Dqc,
-        when(col(Dqc).isNull && col("__black") === 1, lit(FlagCodes.Blacklist))
-          .otherwise(col(Dqc)))
-      .drop("__black")
+        coalesce(col(Dqc),
+          when(col("__black") === 1, lit(FlagCodes.Blacklist))
+            .when(col("__keep") === 1, lit(FlagCodes.Keep))))
+      .drop("__black", "__keep")
   }
 }

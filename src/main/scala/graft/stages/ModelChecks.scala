@@ -81,23 +81,33 @@ object ModelChecks {
     */
   /** Broadcast handles memoized per (context, model-set *instance*):
     * re-serializing the multi-MB LM maps on every pipeline construction
-    * would put a fixed driver-side cost on each run. Keyed by identity (not
-    * the case-class value — hashing multi-MB maps on every lookup is itself
-    * a cost) and bounded: when a new model instance replaces an old one in
-    * the same application, the stale broadcast is unpersisted and evicted.
+    * would put a fixed driver-side cost on each run. Matched by reference
+    * (`eq`, not case-class value equality — hashing multi-MB maps on every
+    * lookup is itself a cost), and each entry holds a STRONG reference to
+    * the keying Models instance: an identity-hash key alone can be reused
+    * after the original instance is collected, silently aliasing a stale
+    * broadcast to a different model set. Bounded: the oldest entry is
+    * unpersisted and evicted when a new instance would exceed the cap.
     */
-  private val bcCache = scala.collection.mutable.HashMap
-    .empty[(String, Int), org.apache.spark.broadcast.Broadcast[Models]]
+  private final case class BcEntry(appId: String, models: Models,
+      bc: org.apache.spark.broadcast.Broadcast[Models])
+  private val bcCache = scala.collection.mutable.ArrayBuffer.empty[BcEntry]
   private val MaxCached = 8
 
   private def broadcastOf(df: DataFrame, models: Models) = bcCache.synchronized {
     val sc = df.sparkSession.sparkContext
-    val key = (sc.applicationId, System.identityHashCode(models))
-    if (!bcCache.contains(key) && bcCache.size >= MaxCached) {
-      bcCache.keys.filter(_._1 == sc.applicationId).take(bcCache.size - MaxCached + 1)
-        .foreach { k => bcCache.remove(k).foreach(_.unpersist(blocking = false)) }
+    val appId = sc.applicationId
+    bcCache.find(e => e.appId == appId && (e.models eq models)) match {
+      case Some(e) => e.bc
+      case None =>
+        if (bcCache.size >= MaxCached) {
+          val evicted = bcCache.remove(0)
+          evicted.bc.unpersist(blocking = false)
+        }
+        val bc = sc.broadcast(models)
+        bcCache += BcEntry(appId, models, bc)
+        bc
     }
-    bcCache.getOrElseUpdate(key, sc.broadcast(models))
   }
 
   def withModelFeatures(df: DataFrame, models: Models): DataFrame = {

@@ -2,7 +2,7 @@ package graft.stages
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.model.{BuddyParams, CascadeConfig, FlagCodes}
+import graft.model.{BuddyParams, CascadeConfig, DualParams, FlagCodes, SctParams}
 
 /** The neighborhood ("buddy"/SCT) check family — TITAN's core
   * (SURVEY.md §2.4). A document's neighborhood is its registered domain
@@ -247,7 +247,29 @@ object Neighborhood {
     * hints and no window: two histogram aggregations plus equi-joins.
     */
   def sctOnce(df: DataFrame, cfg: CascadeConfig): DataFrame = {
-    val alive = Stage.referenceEligible
+    val configs =
+      if (cfg.sctParams.nonEmpty) cfg.sctParams
+      else Seq(SctParams(cfg.sctMinN, cfg.sctZ))
+    configs.zipWithIndex.foldLeft(df) { case (d, (p, i)) =>
+      // materialize between configurations (see buddyOnce)
+      val in = if (i == 0) d else graft.cascade.Cascade.materialize(d)
+      sctConfigRound(in, cfg, p)
+    }
+  }
+
+  private def sctConfigRound(df: DataFrame, cfg: CascadeConfig, params: SctParams): DataFrame = {
+    val prios = cfg.priorities.values.toSet + 0
+    if (prios.size == 1) sctRound(df, cfg, params, None)
+    else prios.toSeq.sorted(Ordering[Int].reverse)
+      .foldLeft(df)((d, p) => sctRound(d, cfg, params, Some(p)))
+  }
+
+  private def sctRound(df: DataFrame, cfg: CascadeConfig, params: SctParams,
+                       prioClass: Option[Int]): DataFrame = {
+    val alive = prioClass match {
+      case Some(p) => Stage.referenceEligible && col(Prio) >= p
+      case None    => Stage.referenceEligible
+    }
     val os = centralOrderStats(df, Seq(Domain), col(NWords), alive)
     val withOs = df.join(os, Seq(Domain), "left")
 
@@ -278,7 +300,8 @@ object Neighborhood {
 
     val dev  = abs(x.cast("double") - looMed)
     val z    = when(col("_mad") > 0, dev / (lit(1.4826) * col("_mad")))
-    val fail = (n - 1) >= cfg.sctMinN && col("_mad") > 0.0 && z > cfg.sctZ
+    val inClass = prioClass.map(p => col(Prio) === p).getOrElse(lit(true))
+    val fail = inClass && (n - 1) >= params.minN && col("_mad") > 0.0 && z > params.z
     Stage.sticky(joined, fail, FlagCodes.Sct, flagsKeep = false)
       .drop("_m0", "_m1", "_m2", "_n", "_mad")
   }
@@ -291,8 +314,31 @@ object Neighborhood {
     * near-unanimous neighborhood.
     */
   def dualOnce(df: DataFrame, cfg: CascadeConfig): DataFrame = {
-    val event = (col(NWords) > cfg.dualEventWords).cast("int")
-    val stats = groupStats(df.withColumn("_ev", event), col("_ev"), cfg)
+    val configs =
+      if (cfg.dualParams.nonEmpty) cfg.dualParams
+      else Seq(DualParams(cfg.dualMinN, cfg.dualEventWords, cfg.dualLoFrac, cfg.dualHiFrac))
+    configs.zipWithIndex.foldLeft(df) { case (d, (p, i)) =>
+      // materialize between configurations (see buddyOnce)
+      val in = if (i == 0) d else graft.cascade.Cascade.materialize(d)
+      dualConfigRound(in, cfg, p)
+    }
+  }
+
+  private def dualConfigRound(df: DataFrame, cfg: CascadeConfig, params: DualParams): DataFrame = {
+    val prios = cfg.priorities.values.toSet + 0
+    if (prios.size == 1) dualRound(df, cfg, params, None)
+    else prios.toSeq.sorted(Ordering[Int].reverse)
+      .foldLeft(df)((d, p) => dualRound(d, cfg, params, Some(p)))
+  }
+
+  private def dualRound(df: DataFrame, cfg: CascadeConfig, params: DualParams,
+                        prioClass: Option[Int]): DataFrame = {
+    val refFilter = prioClass match {
+      case Some(p) => Stage.referenceEligible && col(Prio) >= p
+      case None    => Stage.referenceEligible
+    }
+    val event = (col(NWords) > params.eventWords).cast("int")
+    val stats = groupStats(df.withColumn("_ev", event), col("_ev"), cfg, refFilter)
       .withColumnRenamed("_s", "_evs").withColumnRenamed("_n", "_evn").drop("_q")
     // no broadcast hint: per-domain stats are web-scale cardinality (see buddyRound)
     val joined = df.withColumn("_ev", event)
@@ -303,9 +349,10 @@ object Neighborhood {
     val ns   = when(selfIn, lit(1L)).otherwise(lit(0L))
     val nn   = (col("_evn") - ns).cast("double")
     val frac = when(nn > 0, (col("_evs") - evs).cast("double") / nn)
-    val fail = (col("_evn") - ns) >= cfg.dualMinN &&
-      ((frac >= cfg.dualHiFrac && col("_ev") === 0) ||
-       (frac <= cfg.dualLoFrac && col("_ev") === 1))
+    val inClass = prioClass.map(p => col(Prio) === p).getOrElse(lit(true))
+    val fail = inClass && (col("_evn") - ns) >= params.minN &&
+      ((frac >= params.hiFrac && col("_ev") === 0) ||
+       (frac <= params.loFrac && col("_ev") === 1))
     dropStatCols(
       Stage.sticky(joined, fail, FlagCodes.SctDual, flagsKeep = false),
       "_ev", "_evs", "_evn")

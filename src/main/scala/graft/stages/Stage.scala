@@ -77,11 +77,32 @@ object Stage {
 
   /** The sticky-flag write: stamp `code` where the row is flaggable and the
     * failure condition holds; never touch non-null flags otherwise.
+    *
+    * Deliberately written in `coalesce` form with ONE reference to the dqc
+    * column in the common (flagsKeep = false) case. The naive
+    * `when(isnull(dqc) && cond, code).otherwise(dqc)` references dqc twice,
+    * and when Catalyst pushes a downstream predicate (e.g. `filter(keep)`)
+    * through the ~12 stacked sticky projections it substitutes each layer's
+    * definition into every reference above — 2 references per layer makes
+    * the pushed predicate EXPONENTIAL in cascade depth (measured: a 2^10×
+    * duplicated expression tree that blew janino's 64 KB method limit and
+    * silently disabled whole-stage codegen for the entire row-local chain).
+    * The single-reference form keeps substitution linear. Semantics are
+    * identical: cond is null-guarded, and a null stamp falls through to the
+    * old flag.
     */
-  def sticky(df: DataFrame, cond: Column, code: Int, flagsKeep: Boolean): DataFrame =
-    df.withColumn(Dqc,
-      when(flaggable(flagsKeep) && coalesce(cond, lit(false)), lit(code))
-        .otherwise(col(Dqc)))
+  def sticky(df: DataFrame, cond: Column, code: Int, flagsKeep: Boolean): DataFrame = {
+    val stamp = when(col(Doit) === 1 && coalesce(cond, lit(false)), lit(code))
+    val newDqc =
+      if (!flagsKeep) coalesce(col(Dqc), stamp)
+      else
+        // keep-listed rows are additionally overridable by this stage
+        // (3 dqc references, but only metadata/plausibility use this path)
+        when(col(Dqc) === FlagCodes.Keep && col(Doit) === 1 &&
+            coalesce(cond, lit(false)), lit(code))
+          .otherwise(coalesce(col(Dqc), stamp))
+    df.withColumn(Dqc, newDqc)
+  }
 }
 
 /** A row-local check: one null-guarded `when` projection. The whole family

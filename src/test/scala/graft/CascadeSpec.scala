@@ -32,7 +32,13 @@ class CascadeSpec extends SparkSpec {
     var prev = prepared.select(col("doc_id"), col(Cols.Dqc)).withColumnRenamed(Cols.Dqc, "prev")
     var cur = prepared
     for (s <- Cascade.stages(cfg)) {
-      cur = s.f(if (s.selfRef) cur.localCheckpoint(true) else cur)
+      // materialize every stage output before the diagnostic self-join:
+      // joining two lazy copies of the same 14-stage chain and pushing the
+      // `prev` predicates through it is a plan no real consumer builds
+      // (Cascade.run checkpoints selfRef inputs and ends in an optimizer
+      // barrier), and it needlessly recomputes the cascade twice per stage
+      cur = Cascade.materialize(s.f(if (s.selfRef) cur.localCheckpoint(true) else cur),
+        eager = true)
       val joined = cur.select(col("doc_id"), col(Cols.Dqc)).join(prev, "doc_id")
       val overwritten = joined.filter(
         col("prev").isNotNull && (col(Cols.Dqc).isNull || col(Cols.Dqc) =!= col("prev")) &&
@@ -81,8 +87,12 @@ class CascadeSpec extends SparkSpec {
     val df = rows.toDF("url", "domain", "lang", "nw")
       .withColumn("text", concat_ws(" ", transform(sequence(lit(1), col("nw")), _ => lit("w"))))
       .select("url", "domain", "lang", "text")
+    // dedupIngest off: this corpus deliberately reuses identical "w w w…"
+    // texts, and the flagship config's ingest dedup would collapse them —
+    // this test isolates priority-round semantics
     val base = cfg.copy(buddyKeys = Seq("lang"), buddyZ = 2.5, buddyMinN = 3,
-      enabled = Set(FlagCodes.Buddy), blacklistDomains = Set.empty, keepDomains = Set.empty)
+      enabled = Set(FlagCodes.Buddy), blacklistDomains = Set.empty, keepDomains = Set.empty,
+      dedupIngest = false, buddyLog1p = false)
 
     // A first (prio 1): A judged against A only (consistent), then B judged
     // against everything alive — B's outliers get flagged.

@@ -197,6 +197,86 @@ class FeatureSpec extends SparkSpec {
       assert(m.sliceKey(arr, from, until) === m.key(arr.slice(from, until).toSeq))
   }
 
+  test("sct j loop: later configs see earlier flags (shared spatial-driver skeleton)") {
+    // 6 near-inliers + one extreme on one domain, sctMinN at the boundary:
+    // config 1 (z=20) flags the extreme; config 2 (z=0.01) would flag nearly
+    // everything on the FULL group, but because it sees config 1's flag the
+    // alive count drops to 6 and n−1 = 5 < minN = 6 — it must flag nothing.
+    val c = corpusOf("h.example", Seq(98, 100, 102, 104, 106, 108, 300))
+    val sctOnly = buddyOnlyCfg.copy(enabled = Set(FlagCodes.Sct))
+    // counterfactual: z=0.01 alone (full group in stats) flags most rows
+    val loose = Cascade.run(c, sctOnly.copy(sctParams = Seq(SctParams(6, 0.01))))
+    assert(loose.filter(col(Cols.Dqc) === FlagCodes.Sct).count() >= 5)
+    // the j loop: strict config first, loose config second
+    val multi = Cascade.run(c, sctOnly.copy(
+      sctParams = Seq(SctParams(6, 20.0), SctParams(6, 0.01))))
+    val flagged = multi.filter(col(Cols.Dqc) === FlagCodes.Sct)
+      .select(Cols.NWords).as[Int].collect().toSeq
+    assert(flagged === Seq(300),
+      s"config 2 must see config 1's flag (minN guard), got $flagged")
+  }
+
+  test("dual j loop: later configs see earlier flags") {
+    // 6 short docs + 1 long (the dual event). Config 1 flags the long doc
+    // (LOO event fraction 0 ≤ loFrac, ev = 1); config 2 (hiFrac = 0.1)
+    // would flag every short doc on the full group (frac = 1/6 ≥ 0.1) but
+    // after config 1's flag the fraction is 0 and evn−1 = 5 < minN = 6.
+    val c = corpusOf("h.example", Seq(50, 51, 52, 53, 54, 55, 300))
+    val dualOnly = buddyOnlyCfg.copy(enabled = Set(FlagCodes.SctDual))
+    val loose = Cascade.run(c, dualOnly.copy(
+      dualParams = Seq(DualParams(5, 200, -1.0, 0.1))))
+    assert(loose.filter(col(Cols.Dqc) === FlagCodes.SctDual).count() >= 5,
+      "counterfactual: the loose config alone flags the short docs")
+    val multi = Cascade.run(c, dualOnly.copy(
+      dualParams = Seq(DualParams(5, 200, 0.1, 0.95), DualParams(6, 200, -1.0, 0.1))))
+    val flagged = multi.filter(col(Cols.Dqc) === FlagCodes.SctDual)
+      .select(Cols.NWords).as[Int].collect().toSeq
+    assert(flagged === Seq(300),
+      s"config 2 must see config 1's flag, got $flagged")
+  }
+
+  test("keeplist join variant: join-stamped 990 survives the spatial checks " +
+    "like inline keepDomains") {
+    val c = corpusOf("h.example", (0 until 10).map(98 + _) :+ 300)
+    val normalized = Ingest.normalize(c, buddyOnlyCfg)
+    // control: without the keeplist the outlier is buddy-flagged
+    val control = Neighborhood.buddyOnce(normalized, buddyOnlyCfg)
+    assert(control.filter(col(Cols.Dqc) === FlagCodes.Buddy).count() === 1)
+    // url-keyed keeplist file (read_data_to_check.r:108-119 sourceId form)
+    val keep = Seq("https://h.example/p/10").toDF(Cols.Url)
+    val none = Seq.empty[String].toDF(Cols.Url)
+    val stamped = Ingest.stampListsJoin(normalized, none, Cols.Url, Some(keep))
+    val out = Neighborhood.buddyOnce(stamped, buddyOnlyCfg)
+    val outlier = out.filter(col(Cols.Url) === "https://h.example/p/10")
+      .select(col(Cols.Dqc)).as[Int].collect().toSeq
+    assert(outlier === Seq(FlagCodes.Keep),
+      s"join-stamped keep row must survive buddy, got $outlier")
+    // blacklist side still wins over keep when a key is on both lists
+    val both = Ingest.stampListsJoin(normalized,
+      Seq("https://h.example/p/10").toDF(Cols.Url), Cols.Url, Some(keep))
+    assert(both.filter(col(Cols.Url) === "https://h.example/p/10")
+      .select(col(Cols.Dqc)).as[Int].head() === FlagCodes.Blacklist)
+  }
+
+  test("ingest dedup collapses same-url recrawls to the earliest crawl") {
+    val ts = (k: Int) => new java.sql.Timestamp(1700000000000L + k * 1000L)
+    val rows = Seq(
+      ("https://h.example/a", ts(5), "en", "same content here"),
+      ("https://h.example/a", ts(2), "en", "same content here"),  // recrawl, earlier
+      ("https://h.example/a", ts(9), "en", "same content here"),  // recrawl, later
+      ("https://h.example/b", ts(1), "en", "same content here"),  // cross-url dup
+      ("https://h.example/c", ts(1), "en", "different content here"))
+      .toDF("url", "warc_ts", "lang", "text")
+    val out = Ingest.dropDuplicatePages(
+      Ingest.normalize(rows, buddyOnlyCfg)).collect()
+    assert(out.length === 2, s"one keeper per distinct content, got ${out.length}")
+    val keeper = out.filter(_.getAs[String]("text") == "same content here")
+    assert(keeper.length === 1)
+    assert(keeper.head.getAs[String]("url") === "https://h.example/a")
+    assert(keeper.head.getAs[java.sql.Timestamp]("warc_ts") === ts(2),
+      "the earliest crawl of the min url is the keeper")
+  }
+
   test("scrub report: exact least-squares on a synthetic linear relation") {
     // raw = k chars + " 555-123-4567" (13) → scrubbed = k + " <PHONE>" (8):
     // y = x − 5 exactly, so slope must be exactly 1.0 and intercept −5.0

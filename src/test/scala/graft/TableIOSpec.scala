@@ -68,8 +68,13 @@ class TableIOSpec extends SparkSpec {
     // no new stage tables were created on resume (only labeled/metrics advance)
     assert(Files.list(java.nio.file.Paths.get(root)).count() === manifestCountBefore)
 
-    // metrics table exists and covers all rows
+    // metrics table exists and covers every surviving row (the flagship
+    // config dedups at ingest, so the expected count is post-dedup)
+    val expected = graft.stages.Ingest.dropDuplicatePages(
+      graft.stages.Ingest.normalize(pages, cfg)).count()
+    assert(expected >= 595L && expected <= 600L,
+      s"ingest dedup should only drop true duplicate texts, kept $expected of 600")
     val m = TableIO.read(spark, root, "metrics")
-    assert(m.agg(sum("n_docs")).collect()(0).getLong(0) === 600L)
+    assert(m.agg(sum("n_docs")).collect()(0).getLong(0) === expected)
   }
 }
