@@ -21,15 +21,21 @@ import graft.stages.Models
 object ScalingBench {
 
   def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
+    val b = GraftSession.tune(SparkSession.builder())
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_EVENTLOG=<dir>: record the Spark event log so a run can be
+    // decomposed post-hoc into task time vs driver-serial gaps (used to
+    // attribute the core-count-invariant term in the scaling analysis).
+    val withLog = sys.env.get("SPARK_GRAFT_EVENTLOG").fold(b) { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      b.config("spark.eventLog.enabled", "true").config("spark.eventLog.dir", dir)
+    }
+    val s = withLog.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -72,8 +72,34 @@ object Neighborhood {
     // capped mode: carry the pre-cap group size so consumers can re-derive
     // per-row whether THIS row was sampled (LOO terms must only subtract
     // contributions that are actually inside the sampled statistics)
-    capCounts.fold(merged)(c => merged.join(c, keys, "left"))
+    capCounts.fold(merged)(c => sizeDiscovered(merged.join(c, keys, "left")))
   }
+
+  /** Make a (small) stats table's true size visible to AQE before it is
+    * joined back to the corpus. A stats table whose top is not a shuffle
+    * stage — e.g. a JOIN of two aggregates, or aggregates whose exchanges
+    * were all elided because the subtree inherited the group-key hash
+    * partitioning — is a composite subtree: AQE's runtime join planning
+    * only reads sizes off materialized shuffle stages, so the composite
+    * keeps a static (wildly over-) estimate, the join-back stays
+    * SortMergeJoin, and the FULL corpus is shuffled by the group key —
+    * measured on a 2M-doc zipf corpus as a 141 MB hot partition (vs 17 MB
+    * median) sitting under AQE's 256 MB skew-split threshold: a straggler
+    * on every stats join of the cascade, and every downstream checkpoint
+    * inherits the skewed partitioning. One extra ROUND-ROBIN repartition of
+    * the per-group table (trivial: rows = #groups) materializes it as its
+    * own shuffle stage; AQE then sees the real size and broadcasts the
+    * join-back when the table is genuinely small — the corpus side is read
+    * map-local, never by the skewed key — while at 10⁷–10⁸-domain scale it
+    * keeps the SMJ (one extra tiny re-hash of the stats side). Round-robin,
+    * NOT repartition(keys): the subtree is typically already hash(keys)-
+    * partitioned, so a same-key repartition is elided as redundant by
+    * Catalyst and discovers nothing (measured: the hash form left the plan
+    * unchanged). No forced broadcast hint (see the scale note above).
+    */
+  private def sizeDiscovered(stats: DataFrame): DataFrame =
+    stats.repartition(
+      stats.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
 
   private val SampleMod = 1000000L
 
@@ -270,7 +296,8 @@ object Neighborhood {
       case Some(p) => Stage.referenceEligible && col(Prio) >= p
       case None    => Stage.referenceEligible
     }
-    val os = centralOrderStats(df, Seq(Domain), col(NWords), alive)
+    val os = sizeDiscovered(
+      centralOrderStats(df, Seq(Domain), col(NWords), alive))
     val withOs = df.join(os, Seq(Domain), "left")
 
     val x  = col(NWords).cast("long")
@@ -295,7 +322,8 @@ object Neighborhood {
     val madOs = centralOrderStats(withOs, Seq(Domain), d2, alive)
     val madLoHiSum = when(pmod(col("_n"), lit(2)) === 0, col("_m0") + col("_m1"))
       .otherwise(col("_m1") + col("_m1"))
-    val mad = madOs.select(col(Domain), madLoHiSum.cast("double").divide(lit(4.0)).as("_mad"))
+    val mad = sizeDiscovered(
+      madOs.select(col(Domain), madLoHiSum.cast("double").divide(lit(4.0)).as("_mad")))
     val joined = withOs.join(mad, Seq(Domain), "left")
 
     val dev  = abs(x.cast("double") - looMed)

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for all suites (one JVM, one session). */
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = GraftSession.tune(SparkSession.builder())
     .master("local[8]")
     .appName("titanspark-test")
     .config("spark.sql.shuffle.partitions", "8")
