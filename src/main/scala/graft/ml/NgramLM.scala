@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import scala.util.hashing.MurmurHash3
 
 /** KenLM-style hashed n-gram language model (BASELINE.json north_star):
-  * n-gram counts stored in a Map[Long, Long] keyed by a 64-bit-ish hash of
-  * the joined tokens, broadcast to executors, consulted via a row-local
-  * stupid-backoff log-score — the webtext analog of the reference's
+  * n-gram counts stored in an open-addressing primitive LongLongMap keyed
+  * by a 64-bit-ish hash of the joined tokens, broadcast to executors,
+  * consulted via a row-local stupid-backoff log-score — the webtext analog of the reference's
   * broadcast background ("first guess") fields
   * (/root/reference/functions/IO/read_fgs.r) that observations are scored
   * against.
@@ -20,7 +20,7 @@ import scala.util.hashing.MurmurHash3
 final case class NgramLMModel(
     order: Int,
     seed: Int,
-    counts: Map[Long, Long],
+    counts: LongLongMap,
     totalUnigrams: Long,
     vocabSize: Long) extends Serializable {
 
@@ -118,7 +118,7 @@ object NgramLM {
             order: Int = 3, seed: Int = 17, topK: Int = 200000,
             totalUni: Option[Long] = None): NgramLMModel = {
     import spark.implicits._
-    val model0 = NgramLMModel(order, seed, Map.empty, 0L, 0L) // for key()
+    val model0 = NgramLMModel(order, seed, LongLongMap.empty, 0L, 0L) // for key()
     val grams = df.select(col(textCol)).as[String]
       .filter(_ != null)
       .flatMap { text =>
@@ -134,7 +134,7 @@ object NgramLM {
       .limit(topK)
       .collect()
 
-    val counts = counted.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val counts = LongLongMap.fromPairs(counted.map(r => r.getLong(0) -> r.getLong(1)))
     val vocab = counted.count(_.getInt(2) == 1).toLong
     val tu = totalUni.getOrElse(totalUnigrams(spark, df, textCol))
     NgramLMModel(order, seed, counts, tu, vocab.max(1L))

@@ -190,11 +190,30 @@ class FeatureSpec extends SparkSpec {
   }
 
   test("sliceKey is bit-identical to key (training/lookup hash parity)") {
-    val lm = graft.ml.NgramLMModel(3, 17, Map.empty, 0L, 0L)
-    val lm2 = graft.ml.NgramLMModel(2, 101, Map.empty, 0L, 0L)
+    val lm = graft.ml.NgramLMModel(3, 17, graft.ml.LongLongMap.empty, 0L, 0L)
+    val lm2 = graft.ml.NgramLMModel(2, 101, graft.ml.LongLongMap.empty, 0L, 0L)
     val arr = Array("alpha", "beta", "gamma", "delta")
     for (m <- Seq(lm, lm2); from <- 0 to 3; until <- from + 1 to 4)
       assert(m.sliceKey(arr, from, until) === m.key(arr.slice(from, until).toSeq))
+  }
+
+  test("LongLongMap: getOrElse/contains parity with Map, incl. 0L key and collisions") {
+    val rnd = new scala.util.Random(42)
+    // force collisions: many keys sharing low bits, plus a genuine 0L key
+    val pairs = (1 to 5000).map(_ => rnd.nextLong() -> rnd.nextLong()) ++
+      (1 to 64).map(i => (i.toLong << 48) -> i.toLong) :+ (0L -> 99L)
+    val ref = pairs.toMap
+    val m = graft.ml.LongLongMap.fromPairs(pairs)
+    assert(m.size === ref.size)
+    ref.foreach { case (k, v) => assert(m.getOrElse(k, Long.MinValue) === v) }
+    val probes = (1 to 5000).map(_ => rnd.nextLong()) :+ 0L
+    probes.foreach { k =>
+      assert(m.getOrElse(k, -7L) === ref.getOrElse(k, -7L))
+      assert(m.contains(k) === ref.contains(k))
+    }
+    var n = 0
+    m.foreach((k, v) => { assert(ref(k) === v); n += 1 })
+    assert(n === ref.size)
   }
 
   test("sct j loop: later configs see earlier flags (shared spatial-driver skeleton)") {
