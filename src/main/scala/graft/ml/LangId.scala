@@ -20,6 +20,28 @@ final case class LangIdModel(profiles: Map[String, Map[String, Double]]) extends
   @transient private lazy val sortedProfiles: Array[(String, Map[String, Double])] =
     profiles.toArray.sortBy(_._1)
 
+  /** Trigram → per-language weight vector, merged once per JVM: scoring
+    * probes ONE map per document trigram instead of one per language. The
+    * per-language dot products accumulate in the same document-iteration
+    * order as the per-language loop did, and skipping an absent trigram is
+    * adding +0.0 to a non-negative sum — both bit-exact no-ops — so
+    * detect() output is unchanged (the hot path is consulted once per row
+    * by the fused model-feature UDF).
+    */
+  @transient private lazy val mergedProfiles: java.util.HashMap[String, Array[Double]] = {
+    val m = new java.util.HashMap[String, Array[Double]]()
+    var i = 0
+    while (i < sortedProfiles.length) {
+      sortedProfiles(i)._2.foreach { case (g, w) =>
+        var arr = m.get(g)
+        if (arr == null) { arr = new Array[Double](sortedProfiles.length); m.put(g, arr) }
+        arr(i) = w
+      }
+      i += 1
+    }
+    m
+  }
+
   /** (bestLang, confidence) — confidence is the margin between the best and
     * second-best cosine score, so gibberish (all scores ≈ 0) gets low
     * confidence and is NOT reported as a confident detection.
@@ -28,12 +50,22 @@ final case class LangIdModel(profiles: Map[String, Map[String, Double]]) extends
     if (text == null || text.isEmpty) return ("und", 0.0)
     val doc = LangId.profile(text)
     if (doc.isEmpty) return ("und", 0.0)
+    val nLangs = sortedProfiles.length
+    val dots = new Array[Double](nLangs)
+    doc.foreach { case (g, w) =>
+      val arr = mergedProfiles.get(g)
+      if (arr != null) {
+        var i = 0
+        while (i < nLangs) { dots(i) += w * arr(i); i += 1 }
+      }
+    }
     var best = "und"; var bestS = 0.0; var second = 0.0
-    sortedProfiles.foreach { case (lang, prof) =>
-      var dot = 0.0
-      doc.foreach { case (g, w) => dot += w * prof.getOrElse(g, 0.0) }
-      if (dot > bestS) { second = bestS; bestS = dot; best = lang }
+    var i = 0
+    while (i < nLangs) {
+      val dot = dots(i)
+      if (dot > bestS) { second = bestS; bestS = dot; best = sortedProfiles(i)._1 }
       else if (dot > second) second = dot
+      i += 1
     }
     if (bestS <= 0.0) ("und", 0.0) else (best, bestS - second)
   }
