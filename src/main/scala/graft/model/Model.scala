@@ -85,6 +85,11 @@ final case class SctParams(minN: Int, z: Double)
 /** One sct_dual configuration (sct_dual_r.r shares the same `j` skeleton). */
 final case class DualParams(minN: Int, eventWords: Int, loFrac: Double, hiFrac: Double)
 
+/** One fgt configuration (fgt.r runs the same per-`j` loop over its
+  * threshold vectors, fgt.r:257-267; each j sees earlier flags).
+  */
+final case class FgtParams(z: Double, sdFloor: Double)
+
 /** Per-provider ingest shaping — the reference's per-provider header remap +
   * affine rescale applied before any check sees the data
   * (/root/reference/functions/IO/read_data_to_check.r:50-84: `varname.*`
@@ -157,6 +162,9 @@ final case class CascadeConfig(
     // fgt (11) — deviation vs broadcast model mean/sd, ensemble majority
     fgtZ: Double = 4.0,
     fgtSdFloor: Double = 0.3, // dispersion floor so near-constant corpora don't over-flag
+    // multi-test-configuration loop for fgt (fgt.r:257-267 `j` loop);
+    // empty = single configuration from (fgtZ, fgtSdFloor)
+    fgtParams: Seq[FgtParams] = Nil,
     // perplexity outlier (2) — absolute bound vs the broadcast LM
     maxLogPpl: Double = 8.0,
     // sct_fg_dual (4) — binary event vs pseudo-doc-augmented neighborhood

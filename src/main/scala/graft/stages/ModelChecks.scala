@@ -158,17 +158,28 @@ object ModelChecks {
 
   /** 11 — fgt analog: deviation of doc perplexity from the broadcast
     * background mean beyond fgtZ·sd, voted over the LM ensemble with
-    * majority ≥ nens/2 (functions/checks/fgt.r:267-289,336-343).
+    * majority ≥ nens/2 (functions/checks/fgt.r:267-289,336-343). Honors the
+    * multi-test-configuration loop shared by all four spatial drivers
+    * (fgt.r:257-267): each configuration is applied as its own sticky pass,
+    * so later configurations see the flags earlier ones stamped.
     */
   def fgt(df: DataFrame, cfg: CascadeConfig, models: Models): DataFrame = {
+    val params =
+      if (cfg.fgtParams.nonEmpty) cfg.fgtParams
+      else Seq(graft.model.FgtParams(cfg.fgtZ, cfg.fgtSdFloor))
+    params.foldLeft(df)((d, p) => fgtOnce(d, p, models))
+  }
+
+  private def fgtOnce(df: DataFrame, p: graft.model.FgtParams,
+                      models: Models): DataFrame = {
     val votes: Column = models.pplStats.zipWithIndex.map { case (stats, i) =>
       val mean = stats.foldLeft(lit(Double.NaN)) { case (acc, (lang, (m, _))) =>
         when(col(Lang) === lang, lit(m)).otherwise(acc)
       }
       val sd = stats.foldLeft(lit(Double.NaN)) { case (acc, (lang, (_, s))) =>
-        when(col(Lang) === lang, lit(math.max(s, cfg.fgtSdFloor))).otherwise(acc)
+        when(col(Lang) === lang, lit(math.max(s, p.sdFloor))).otherwise(acc)
       }
-      when(abs(col(s"$LogPpl$i") - mean) > lit(cfg.fgtZ) * sd, lit(1)).otherwise(lit(0))
+      when(abs(col(s"$LogPpl$i") - mean) > lit(p.z) * sd, lit(1)).otherwise(lit(0))
     }.reduce(_ + _)
     val majority = (models.lms.size + 1) / 2
     Stage.sticky(df, votes >= majority, FlagCodes.Fgt, flagsKeep = false)

@@ -296,6 +296,39 @@ class FeatureSpec extends SparkSpec {
       "the earliest crawl of the min url is the keeper")
   }
 
+  test("fgt j loop: fgtParams override the scalars and apply as sticky passes") {
+    // fgt only reads pplStats + the ensemble size, so a stub model suffices
+    val stubLm = graft.ml.NgramLMModel(2, 0,
+      graft.ml.LongLongMap.fromPairs(Nil), 1L, 1L)
+    val models = Models(
+      graft.ml.LangId.default, Seq(stubLm), Seq(Map("en" -> (5.0, 1.0))))
+    // mean 5.0, sd 1.0; the 20.0 row deviates by 15 sd; one row pre-flagged
+    val df = Seq(
+      ("https://h.example/a", "en", 1, 5.0, null.asInstanceOf[Integer]),
+      ("https://h.example/b", "en", 1, 5.5, null.asInstanceOf[Integer]),
+      ("https://h.example/c", "en", 1, 20.0, null.asInstanceOf[Integer]),
+      ("https://h.example/d", "en", 1, 20.0, Integer.valueOf(FlagCodes.Blacklist)))
+      .toDF(Cols.Url, Cols.Lang, Cols.Doit, s"${Cols.LogPpl}0", Cols.Dqc)
+    def flaggedUrls(cfg: CascadeConfig): Seq[String] =
+      ModelChecks.fgt(df, cfg, models)
+        .filter(col(Cols.Dqc) === FlagCodes.Fgt)
+        .select(Cols.Url).as[String].collect().toSeq.sorted
+    val base = buddyOnlyCfg
+    // scalar path still works: z=3 flags the 15-sd outlier
+    assert(flaggedUrls(base.copy(fgtZ = 3.0)) === Seq("https://h.example/c"))
+    // params override the scalars: loose scalar + strict param = nothing
+    assert(flaggedUrls(base.copy(fgtZ = 3.0,
+      fgtParams = Seq(FgtParams(50.0, 0.3)))) === Seq.empty)
+    // multi-config: strict pass flags nothing, loose second pass flags the
+    // outlier; the pre-flagged row is never touched (sticky)
+    val multi = ModelChecks.fgt(df, base.copy(
+      fgtParams = Seq(FgtParams(50.0, 0.3), FgtParams(3.0, 0.3))), models)
+    assert(multi.filter(col(Cols.Dqc) === FlagCodes.Fgt)
+      .select(Cols.Url).as[String].collect().toSeq === Seq("https://h.example/c"))
+    assert(multi.filter(col(Cols.Url) === "https://h.example/d")
+      .select(Cols.Dqc).as[Int].head() === FlagCodes.Blacklist)
+  }
+
   test("scrub report: exact least-squares on a synthetic linear relation") {
     // raw = k chars + " 555-123-4567" (13) → scrubbed = k + " <PHONE>" (8):
     // y = x − 5 exactly, so slope must be exactly 1.0 and intercept −5.0
