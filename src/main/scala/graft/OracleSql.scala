@@ -101,6 +101,70 @@ object OracleSql {
        |  abs((CAST(nw AS DOUBLE) - mean) / sd) > ${c.buddyZ} THEN 10 END AS dqc
        |FROM v ORDER BY doc_id""".stripMargin
 
+  /** One pass of the unrolled multi-pass buddy oracle: references are
+    * alive rows satisfying `refExtra`; rows stamped are alive rows
+    * satisfying `chkExtra` (SQL predicates over the row's `prio`).
+    */
+  final case class BuddyPassSql(minN: Int, z: Double,
+                                refExtra: String = "TRUE",
+                                chkExtra: String = "TRUE")
+
+  /** documents-table column for a buddy key name (domain ↔ source in the
+    * Docs.pages adapter; lang is carried verbatim). */
+  private def keyColSql(key: String): String =
+    if (key == "domain") "source" else key
+
+  /** The priority-class CASE chain, generated from the same map
+    * Ingest.normalize folds into its `prio` column. */
+  private def prioSql(c: CascadeConfig): String =
+    c.priorities.foldLeft("0") { case (acc, (d, v)) =>
+      s"(CASE WHEN source = '$d' THEN $v ELSE $acc END)"
+    }
+
+  /** Unrolled multi-pass buddy check: each pass recomputes the group
+    * statistics over still-alive rows (so later passes see earlier flags,
+    * exactly like Neighborhood.buddyOnce's fold) and stamps sticky code 10.
+    * Shared by the `j`-loop oracle (passes = configurations) and the
+    * priority-rounds oracle (passes = descending classes).
+    */
+  def qBuddyPasses(c: CascadeConfig, passes: Seq[BuddyPassSql]): String = {
+    val k = keyColSql(c.buddyKeys.head)
+    val base = s"""r0 AS (SELECT doc_id, $k AS k, ${prioSql(c)} AS prio,
+                 |  ${buddyXSql(c, nw)} AS nw, CAST(NULL AS INT) AS fl FROM documents)""".stripMargin
+    val ctes = passes.zipWithIndex.map { case (p, i) =>
+      val alive = s"(fl IS NULL AND (${p.refExtra}))"
+      s"""st$i AS (SELECT k,
+         |  CAST(SUM(CASE WHEN $alive THEN CAST(nw AS BIGINT) END) AS BIGINT) AS s,
+         |  CAST(SUM(CASE WHEN $alive THEN CAST(nw AS BIGINT) * CAST(nw AS BIGINT) END) AS BIGINT) AS q,
+         |  COUNT(CASE WHEN $alive THEN 1 END) AS n
+         |  FROM r$i GROUP BY k),
+         |j$i AS (SELECT doc_id, k, prio, nw, fl, s, q, n FROM r$i LEFT JOIN st$i USING (k)),
+         |m$i AS (SELECT doc_id, k, prio, nw, fl, s, q, n, ${buddyMeanX("nw")} AS mean FROM j$i),
+         |v$i AS (SELECT *, sqrt(greatest(${buddyVrX("nw")}, 0.0)) AS sd FROM m$i),
+         |r${i + 1} AS (SELECT doc_id, k, prio, nw,
+         |  (CASE WHEN fl IS NOT NULL THEN fl
+         |        WHEN (${p.chkExtra}) AND n - 1 >= ${p.minN} AND sd > 0.0 AND
+         |          abs((CAST(nw AS DOUBLE) - mean) / sd) > ${p.z} THEN 10 END) AS fl
+         |  FROM v$i)""".stripMargin
+    }
+    s"""WITH $base,
+       |${ctes.mkString(",\n")}
+       |SELECT doc_id, fl AS dqc FROM r${passes.length} ORDER BY doc_id""".stripMargin
+  }
+
+  /** The multi-test-configuration `j` loop (buddy.r:101) as an oracle:
+    * one unrolled pass per configuration in order. */
+  def qBuddyMulti(c: CascadeConfig): String =
+    qBuddyPasses(c, c.buddyParams.map(p => BuddyPassSql(p.minN, p.z)))
+
+  /** Priority rounds (buddy.r:112-155) as an oracle: descending classes,
+    * each round's references restricted to classes >= the round's. */
+  def qBuddyPrio(c: CascadeConfig): String = {
+    val classes = (c.priorities.values.toSet + 0).toSeq.sorted(Ordering[Int].reverse)
+    qBuddyPasses(c, classes.map(p =>
+      BuddyPassSql(c.buddyMinN, c.buddyZ, s"prio >= $p", s"prio = $p")))
+  }
+
   /** Central-order-statistic machinery mirroring Neighborhood.sctOnce: the
     * three values at 0-based ranks L, L+1, L+2 (L = floor((n−2)/2)) of
     * column `v` per `key` group over `src` (null v excluded) — enough for
@@ -520,6 +584,54 @@ object OracleSql {
     * flags, keep-list asymmetry, and alive-set recomputation between the
     * neighborhood stages — mirrors Cascade.run with the same config.
     */
+  // ---- repetition quality signals (mirror operators.Repetition) ----
+
+  /** Word n-gram list over the whitespace tokens (1-indexed DuckDB lists;
+    * empty-token filter mirrors Repetition.words).
+    */
+  private def gramsSql(n: Int): String = {
+    val item = (0 until n).map(k => if (k == 0) "ws[i]" else s"ws[i+$k]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len(ws)${if (n > 2) s" - ${n - 2}" else ""}), i -> $item)"
+  }
+
+  /** Per-doc (top_frac, dup_frac) CTE chain for n-grams; the oracle counts
+    * the exploded multiset (the engine's sorted-run fold is the row-local
+    * equivalent: the mode of a multiset is the longest run of its sorted
+    * form).
+    */
+  private def repCtes(p: String, n: Int): String =
+    s"""${p}g AS (SELECT doc_id, unnest(${gramsSql(n)}) AS g FROM w WHERE len(ws) >= $n),
+       |${p}c AS (SELECT doc_id, g, COUNT(*) AS c FROM ${p}g GROUP BY doc_id, g),
+       |${p}a AS (SELECT doc_id,
+       |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_top${n}_frac,
+       |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_dup${n}_frac
+       |  FROM ${p}c GROUP BY doc_id)""".stripMargin
+
+  val repWordsCte: String =
+    "w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents)"
+
+  def qRepetition: String =
+    s"""WITH $repWordsCte,
+       |${repCtes("r2", 2)},
+       |${repCtes("r3", 3)}
+       |SELECT d.doc_id, r2a.rep_top2_frac, r2a.rep_dup2_frac,
+       |  r3a.rep_top3_frac, r3a.rep_dup3_frac
+       |FROM documents d LEFT JOIN r2a USING (doc_id) LEFT JOIN r3a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** 503 failure predicate over the joined rep_* fraction columns. */
+  def repFail(c: CascadeConfig): String =
+    s"(rep_top2_frac > ${c.maxTop2GramFrac} OR rep_dup2_frac > ${c.maxDup2GramFrac} OR " +
+      s"rep_top3_frac > ${c.maxTop3GramFrac})"
+
+  def qRepetitionCheck(c: CascadeConfig): String =
+    s"""WITH $repWordsCte,
+       |${repCtes("r2", 2)},
+       |${repCtes("r3", 3)}
+       |SELECT d.doc_id, CASE WHEN ${repFail(c)} THEN 503 END AS dqc
+       |FROM documents d LEFT JOIN r2a USING (doc_id) LEFT JOIN r3a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def qCascade(c: CascadeConfig): String = {
     val blackCase = c.blacklistDomains.toSeq.sorted
       .map(d => s"WHEN source = '$d' THEN 999").mkString(" ")
@@ -540,6 +652,19 @@ object OracleSql {
               |    CASE WHEN text IS NOT NULL AND length(trim(text)) > 0
               |         THEN $fingerprint END AS _fp FROM documents)
               | QUALIFY _fp IS NULL OR _url = min(_url) OVER (PARTITION BY _fp))""".stripMargin
+    // repetition (503) layer, present iff the config builds the stage
+    // (Cascade.stages gates on enabled + repetitionActive). The rep_*
+    // fractions are row-local pure functions of text, so computing them
+    // over the pre-dedup table and joining by doc_id is equivalent.
+    val repOn = c.enabled.contains(graft.model.FlagCodes.Repetition) && c.repetitionActive
+    val repCteSql =
+      if (!repOn) ""
+      else s",\n$repWordsCte,\n${repCtes("cr2", 2)},\n${repCtes("cr3", 3)}"
+    val repJoin =
+      if (!repOn) ""
+      else " LEFT JOIN cr2a USING (doc_id) LEFT JOIN cr3a USING (doc_id)"
+    val repFrepCol = if (!repOn) "" else s", ${repFail(c)} AS f_rep"
+    val repWhen = if (!repOn) "" else "\n    WHEN d0 IS NULL AND f_rep THEN 503"
     s"""WITH base0 AS (
        |  SELECT doc_id, source, lang,
        |    $nw AS nw,
@@ -549,15 +674,16 @@ object OracleSql {
        |    ${plausFail(c)} AS f_plaus,
        |    ${langBoundsFail(c)} AS f_lb,
        |    CASE $blackCase $keepCase END AS d0
-       |  FROM $src),
-       |base AS (SELECT *, ${buddyXSql(c, "nw")} AS bx FROM base0),
+       |  FROM $src)$repCteSql,
+       |base AS (SELECT base0.*, ${buddyXSql(c, "nw")} AS bx$repFrepCol
+       |  FROM base0$repJoin),
        |s1 AS (
        |  SELECT doc_id, source, lang, nw, bx, ev, CASE
        |    WHEN d0 = 999 THEN 999
        |    WHEN (d0 IS NULL OR d0 = 990) AND f_meta THEN 901
        |    WHEN d0 IS NULL AND f_lm THEN 902
        |    WHEN (d0 IS NULL OR d0 = 990) AND f_plaus THEN 501
-       |    WHEN d0 IS NULL AND f_lb THEN 502
+       |    WHEN d0 IS NULL AND f_lb THEN 502$repWhen
        |    ELSE d0 END AS d1
        |  FROM base),
        |t2 AS (SELECT source,

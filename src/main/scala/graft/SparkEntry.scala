@@ -10,6 +10,7 @@ import graft.io.{Docs, PagesGen}
 import graft.functions.TextFeatures
 import graft.ml.Scrubber
 import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Repetition => RepetitionOp}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,17 +49,41 @@ object SparkEntry {
     dedupIngest = true,
     maxRefsPerGroup = Some(100000),
     buddyLog1p = true,
+    // repetition ceilings (503) — calibrated so ~3% of each sf's documents
+    // exceed one (p99-ish of the corpus distribution)
+    maxTop2GramFrac = 0.12,
+    maxDup2GramFrac = 0.20,
+    maxTop3GramFrac = 0.10,
     // CrossField is enabled but can never fire on Docs.pages (html is the
     // UTF-8 encoding of text, so chars(text) ≤ bytes(html) always) — the
     // qCascade oracle therefore doesn't model it; q_check_crossfield
     // exercises the predicate on a frame with genuinely divergent html
     enabled = Set(Metadata, CrossField, LangMismatch, Plausibility, LangBounds,
-      SctDual, Buddy, Sct, Isolation))
+      FlagCodes.Repetition, SctDual, Buddy, Sct, Isolation))
 
   /** z threshold for the convergence-iteration query (tighter than docCfg's
     * sctZ so that round 2 demonstrably flags more rows at the oracle SFs).
     */
   val SctIterZ = 2.0
+
+  /** Multi-test-configuration buddy (the reference's `j` loop, buddy.r:101;
+    * ini pairs test/ini/rr1_buddy.ini:16-20) exercised through the oracle
+    * gate: a strict pass then a loose one, the second recomputing its group
+    * statistics without the rows the first flagged.
+    */
+  val buddyMultiCfg: CascadeConfig = docCfg.copy(
+    buddyParams = Seq(BuddyParams(5, 3.0), BuddyParams(5, 1.5)))
+
+  /** Priority rounds (buddy.r:112-155) exercised through the oracle gate.
+    * The buddy key is `lang`, NOT the priority key (`domain`), so the
+    * rounds genuinely interact: class-1 providers are judged first against
+    * class-1 references only, and whatever they lose is absent from the
+    * class-0 round's statistics.
+    */
+  val buddyPrioCfg: CascadeConfig = docCfg.copy(
+    buddyKeys = Seq(Cols.Lang),
+    priorities = Map("src2" -> 1, "src6" -> 1, "src9" -> 1,
+      "src13" -> 1, "src17" -> 1))
 
   /** Models trained once per (application, sfDir) and reused — production
     * loads a pre-trained model; retraining inside every query invocation
@@ -92,6 +117,14 @@ object SparkEntry {
       .select(col("doc_id"), col(Cols.Dqc).cast("int").as("dqc"))
       .orderBy("doc_id")
 
+  /** checkQ with a non-default config (normalize must see the same config
+    * the stage runs with — e.g. priorities are stamped at normalize time).
+    */
+  private def checkQCfg(cfg: CascadeConfig)(stage: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => stage(Ingest.normalize(Docs.pages(s, dir), cfg))
+      .select(col("doc_id"), col(Cols.Dqc).cast("int").as("dqc"))
+      .orderBy("doc_id")
+
   /** Flagship: the full quality-filter cascade on sf=0.001. */
   def entry(spark: SparkSession): DataFrame =
     Cascade.run(Docs.pages(spark, "/root/testdata/sf0.001"), docCfg)
@@ -101,8 +134,11 @@ object SparkEntry {
     "q_check_metadata"     -> checkQ(RowChecks.metadata.transform(_, docCfg)),
     "q_check_plausibility" -> checkQ(RowChecks.plausibility.transform(_, docCfg)),
     "q_check_langbounds"   -> checkQ(RowChecks.langBounds.transform(_, docCfg)),
+    "q_check_repetition"   -> checkQ(RowChecks.repetition.transform(_, docCfg)),
     "q_check_langmismatch" -> checkQ(RowChecks.langMismatchHeuristic.transform(_, docCfg)),
     "q_check_buddy"        -> checkQ(Neighborhood.buddyOnce(_, docCfg)),
+    "q_check_buddy_multi"  -> checkQCfg(buddyMultiCfg)(Neighborhood.buddyOnce(_, buddyMultiCfg)),
+    "q_check_buddy_prio"   -> checkQCfg(buddyPrioCfg)(Neighborhood.buddyOnce(_, buddyPrioCfg)),
     "q_check_sct"          -> checkQ(Neighborhood.sctOnce(_, docCfg)),
     "q_check_dual"         -> checkQ(Neighborhood.dualOnce(_, docCfg)),
     "q_check_isolation"    -> checkQ(Neighborhood.isolationOnce(_, docCfg)),
@@ -260,6 +296,14 @@ object SparkEntry {
       ModelChecks.scrubReport(d, col("_raw"), col("_scr")).orderBy("domain")
     }),
 
+    // ---- repetition quality signals (Gopher-style top/dup n-gram
+    // fractions; row-local sorted-run fold, no shuffle) ----
+    "q_text_repetition" -> ((s, dir) =>
+      RepetitionOp.features(Docs.read(s, dir))
+        .select("doc_id", "rep_top2_frac", "rep_dup2_frac",
+          "rep_top3_frac", "rep_dup3_frac")
+        .orderBy("doc_id")),
+
     // ---- token counting (whitespace + BPE-ish regex) ----
     "q_text_tokens" -> ((s, dir) =>
       Docs.read(s, dir).select(
@@ -346,8 +390,11 @@ object SparkEntry {
     "q_check_metadata"     -> OracleSql.qMetadata(docCfg),
     "q_check_plausibility" -> OracleSql.qPlausibility(docCfg),
     "q_check_langbounds"   -> OracleSql.qLangBounds(docCfg),
+    "q_check_repetition"   -> OracleSql.qRepetitionCheck(docCfg),
     "q_check_langmismatch" -> OracleSql.qLangMismatch(docCfg),
     "q_check_buddy"        -> OracleSql.qBuddy(docCfg),
+    "q_check_buddy_multi"  -> OracleSql.qBuddyMulti(buddyMultiCfg),
+    "q_check_buddy_prio"   -> OracleSql.qBuddyPrio(buddyPrioCfg),
     "q_check_sct"          -> OracleSql.qSct(docCfg),
     "q_check_dual"         -> OracleSql.qDual(docCfg),
     "q_check_isolation"    -> OracleSql.qIsolation(docCfg),
@@ -380,6 +427,7 @@ object SparkEntry {
     "q_ann_ivf"       -> OracleSql.qIvfTopK(Seq(0L, 1L, 2L, 3L, 4L), 5, 8, 2),
     "q_dedup_embed"   -> OracleSql.qDedupEmbed(8, 0.25),
     "q_text_rollhash" -> OracleSql.qRollHash,
+    "q_text_repetition" -> OracleSql.qRepetition,
     "q_mm_meta"       -> OracleSql.qMmMeta,
     "q_mm_frames"     -> OracleSql.qMmFrames(4, 32),
     "q_mm_embed"      -> OracleSql.qMmEmbed(4, 32, 8),

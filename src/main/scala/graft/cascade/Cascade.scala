@@ -119,6 +119,11 @@ object Cascade {
       b += StageDef(Plausibility, selfRef = false, d => RowChecks.plausibility.transform(d, cfg))
     if (cfg.enabled.contains(LangBounds))
       b += StageDef(LangBounds, selfRef = false, d => RowChecks.langBounds.transform(d, cfg))
+    // built only when a ceiling is configured (like sctFgDual's pseudoTexts
+    // gate): the gram pass costs a per-row sort, pointless at the off
+    // defaults (a fraction never exceeds 1.0)
+    if (cfg.enabled.contains(Repetition) && cfg.repetitionActive)
+      b += StageDef(Repetition, selfRef = false, d => RowChecks.repetition.transform(d, cfg))
     if (cfg.enabled.contains(SctFgDual) && pseudoTexts.nonEmpty)
       b += StageDef(SctFgDual, selfRef = true, d => ModelChecks.sctFgDual(d, cfg, pseudoTexts))
     if (cfg.enabled.contains(SctDual))

@@ -23,6 +23,7 @@ object FlagCodes {
   val CrossField  = 301 // cross-column consistency (checks/ccrrt.r)
   val Plausibility= 501 // hard value bounds (checks/plausibility_test.r)
   val LangBounds  = 502 // lang-conditioned bounds (checks/climatological_check.r: month ↔ lang)
+  val Repetition  = 503 // n-gram repetition bounds (plausibility-family slot; Gopher-style)
   val Isolation   = 800 // too few neighbors to judge (checks/isolation.r)
   val Metadata    = 901 // missing/malformed required fields (checks/metadata_check.r)
   val LangMismatch= 902 // declared vs detected language disagree (checks/check_z_against_dem.r analog)
@@ -126,6 +127,13 @@ final case class CascadeConfig(
     minDistinctWordRatio: Double = 0.0, // repetition rule (C4/Gopher n-gram dedup)
     // lang-conditioned bounds (502) — stopword-ratio minimum per language
     langStopMin: Map[String, Double] = Map("en" -> 0.05),
+    // repetition bounds (503) — Gopher-style top/duplicate word-n-gram
+    // fraction ceilings. 1.0 = off (a fraction never exceeds 1, and the
+    // comparison is strict); the stage is built only when one is active,
+    // like sctFgDual's pseudoTexts gate
+    maxTop2GramFrac: Double = 1.0,
+    maxDup2GramFrac: Double = 1.0,
+    maxTop3GramFrac: Double = 1.0,
     // lang mismatch (902)
     langMismatchMinConf: Double = 0.10,
     // buddy (10) — neighborhood key defaults to the provider (domain); a
@@ -198,12 +206,17 @@ final case class CascadeConfig(
     // skew handling: #salt buckets for two-level aggregation of group stats
     saltBuckets: Int = 8,
     // which checks run (TITAN: each check behind a CLI switch, titan.r:140-256)
-    enabled: Set[Int] = CascadeConfig.allChecks)
+    enabled: Set[Int] = CascadeConfig.allChecks) {
+
+  /** Is any repetition ceiling configured? (503 runs only when so.) */
+  def repetitionActive: Boolean =
+    maxTop2GramFrac < 1.0 || maxDup2GramFrac < 1.0 || maxTop3GramFrac < 1.0
+}
 
 object CascadeConfig {
   import FlagCodes._
   val allChecks: Set[Int] = Set(
-    Metadata, Plausibility, LangBounds, LangMismatch, CrossField,
+    Metadata, Plausibility, LangBounds, Repetition, LangMismatch, CrossField,
     SctFgDual, SctDual, Fgt, Buddy, SctFg, Sct, Isolation)
 
   /** Checks expressible 1:1 in portable SQL (used by the DuckDB oracle
@@ -211,6 +224,6 @@ object CascadeConfig {
     * ScalaTest F1 gates instead.
     */
   val sqlCheckable: Set[Int] = Set(
-    Metadata, Plausibility, LangBounds, LangMismatch,
+    Metadata, Plausibility, LangBounds, Repetition, LangMismatch,
     SctDual, Buddy, Sct, Isolation)
 }

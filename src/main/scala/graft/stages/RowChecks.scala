@@ -53,6 +53,29 @@ object RowChecks {
       }
     })
 
+  /** 503 — n-gram repetition ceilings (Gopher-style top/duplicate n-gram
+    * fractions), the plausibility-family slot for boilerplate/SEO spam.
+    * The reference's analog is the climatological family: a bound looked
+    * up from config, applied row-locally (climatological_check.r:12-28).
+    * Features are computed inside the stage (row-local sorted-run fold,
+    * [[graft.operators.Repetition]]) and dropped after — they are not part
+    * of the cascade's persistent working set. Cannot flag keep rows.
+    */
+  val repetition: CheckStage = new CheckStage {
+    val name = "repetition"
+    val code = Repetition
+    def transform(df: org.apache.spark.sql.DataFrame,
+                  cfg: graft.model.CascadeConfig): org.apache.spark.sql.DataFrame = {
+      val f = graft.operators.Repetition.features(df, Text)
+      Stage.sticky(f,
+          col("rep_top2_frac") > cfg.maxTop2GramFrac ||
+          col("rep_dup2_frac") > cfg.maxDup2GramFrac ||
+          col("rep_top3_frac") > cfg.maxTop3GramFrac,
+          code, flagsKeep = false)
+        .drop("rep_top2_frac", "rep_dup2_frac", "rep_top3_frac", "rep_dup3_frac")
+    }
+  }
+
   /** 902 (heuristic form) — declared vs detected language disagreement,
     * the analog of the reference's station-elevation vs DEM cross-check
     * (functions/checks/check_z_against_dem.r:18-27, |z−zdem| > dz.dem).

@@ -19,8 +19,8 @@ class CascadeSpec extends SparkSpec {
     val codes = out.select(Cols.Dqc).distinct().collect().map(_.getInt(0)).toSet
     val legal = Set(FlagCodes.Good, FlagCodes.Keep, FlagCodes.Blacklist,
       FlagCodes.Metadata, FlagCodes.CrossField, FlagCodes.LangMismatch,
-      FlagCodes.Plausibility, FlagCodes.LangBounds, FlagCodes.SctDual,
-      FlagCodes.Buddy, FlagCodes.Sct, FlagCodes.Isolation)
+      FlagCodes.Plausibility, FlagCodes.LangBounds, FlagCodes.Repetition,
+      FlagCodes.SctDual, FlagCodes.Buddy, FlagCodes.Sct, FlagCodes.Isolation)
     assert(codes.subsetOf(legal), s"unexpected codes ${codes -- legal}")
     out.unpersist()
   }

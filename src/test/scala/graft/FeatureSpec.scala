@@ -329,6 +329,47 @@ class FeatureSpec extends SparkSpec {
       .select(Cols.Dqc).as[Int].head() === FlagCodes.Blacklist)
   }
 
+  test("repetition features: hand-computed top/dup n-gram fractions") {
+    // "a b a b a b": 2-grams (ab ba ab ba ab) → top 3/5, dup 5/5;
+    //                3-grams (aba bab aba bab) → top 2/4, dup 4/4
+    val df = Seq(
+      (1L, "a b a b a b"),
+      (2L, "w x y z"), // all unique: top2 1/3, dup2 0; top3 1/2, dup3 0
+      (3L, ""),        // no grams → null fractions
+      (4L, "solo"))
+      .toDF("doc_id", "text")
+    val f = graft.operators.Repetition.features(df).orderBy("doc_id")
+      .select("rep_top2_frac", "rep_dup2_frac", "rep_top3_frac", "rep_dup3_frac")
+      .collect()
+    assert(f(0).getDouble(0) === 3.0 / 5 && f(0).getDouble(1) === 1.0)
+    assert(f(0).getDouble(2) === 2.0 / 4 && f(0).getDouble(3) === 1.0)
+    assert(f(1).getDouble(0) === 1.0 / 3 && f(1).getDouble(1) === 0.0)
+    assert(f(1).getDouble(2) === 1.0 / 2 && f(1).getDouble(3) === 0.0)
+    assert((0 to 3).forall(f(2).isNullAt), "no words → no gram population")
+    assert((0 to 3).forall(f(3).isNullAt), "one word → no gram population")
+  }
+
+  test("repetition check 503: ceilings flag, sticky respected, off by default") {
+    val df = Seq(
+      ("https://h.example/a", 1, "a b a b a b", null.asInstanceOf[Integer]),
+      ("https://h.example/b", 1, "fresh words only here now", null.asInstanceOf[Integer]),
+      ("https://h.example/c", 1, "a b a b a b", Integer.valueOf(FlagCodes.Blacklist)))
+      .toDF(Cols.Url, Cols.Doit, Cols.Text, Cols.Dqc)
+    val cfg = buddyOnlyCfg.copy(maxTop2GramFrac = 0.5)
+    val out = RowChecks.repetition.transform(df, cfg)
+    assert(out.filter(col(Cols.Dqc) === FlagCodes.Repetition)
+      .select(Cols.Url).as[String].collect().toSeq === Seq("https://h.example/a"),
+      "only the unflagged repetitive doc is stamped (0.6 > 0.5); sticky rows kept")
+    assert(!out.columns.exists(_.startsWith("rep_")), "feature columns dropped")
+    // stage gating: inert at the off defaults, built when a ceiling is set
+    val inert = Cascade.stages(buddyOnlyCfg.copy(
+      enabled = Set(FlagCodes.Repetition)))
+    assert(!inert.exists(_.code == FlagCodes.Repetition),
+      "no 503 stage at the 1.0 sentinel ceilings")
+    val active = Cascade.stages(cfg.copy(enabled = Set(FlagCodes.Repetition)))
+    assert(active.exists(_.code == FlagCodes.Repetition))
+  }
+
   test("scrub report: exact least-squares on a synthetic linear relation") {
     // raw = k chars + " 555-123-4567" (13) → scrubbed = k + " <PHONE>" (8):
     // y = x − 5 exactly, so slope must be exactly 1.0 and intercept −5.0
