@@ -81,6 +81,14 @@ object OracleSql {
   val buddyMean: String = buddyMeanX("nw")
   val buddyVr: String   = buddyVrX("nw")
 
+  /** LOO sd with the optional σ floor — mirrors buddyRound's `floored`
+    * (byte-identical SQL when the floor is off, the shipped oracle case).
+    */
+  def buddySdSql(c: CascadeConfig, x: String): String = {
+    val raw = s"sqrt(greatest(${buddyVrX(x)}, 0.0))"
+    if (c.buddySdFloor > 0) s"greatest($raw, ${c.buddySdFloor})" else raw
+  }
+
   /** The buddy statistic: raw word count, or the fixed-point log1p
     * (boxcox analog) when the config enables it. Empirically bit-exact
     * cross-engine: DuckDB round(ln(1+n)·1000) == Spark round(log1p(n)·1000)
@@ -96,7 +104,7 @@ object OracleSql {
        |st AS (${buddyStats("f", "TRUE")}),
        |j AS (SELECT f.doc_id, f.nw, st.s, st.q, st.n FROM f LEFT JOIN st USING (source)),
        |m AS (SELECT doc_id, nw, s, q, n, $buddyMean AS mean FROM j),
-       |v AS (SELECT doc_id, nw, n, mean, sqrt(greatest($buddyVr, 0.0)) AS sd FROM m)
+       |v AS (SELECT doc_id, nw, n, mean, ${buddySdSql(c, "nw")} AS sd FROM m)
        |SELECT doc_id, CASE WHEN n - 1 >= ${c.buddyMinN} AND sd > 0.0 AND
        |  abs((CAST(nw AS DOUBLE) - mean) / sd) > ${c.buddyZ} THEN 10 END AS dqc
        |FROM v ORDER BY doc_id""".stripMargin
@@ -140,7 +148,7 @@ object OracleSql {
          |  FROM r$i GROUP BY k),
          |j$i AS (SELECT doc_id, k, prio, nw, fl, s, q, n FROM r$i LEFT JOIN st$i USING (k)),
          |m$i AS (SELECT doc_id, k, prio, nw, fl, s, q, n, ${buddyMeanX("nw")} AS mean FROM j$i),
-         |v$i AS (SELECT *, sqrt(greatest(${buddyVrX("nw")}, 0.0)) AS sd FROM m$i),
+         |v$i AS (SELECT *, ${buddySdSql(c, "nw")} AS sd FROM m$i),
          |r${i + 1} AS (SELECT doc_id, k, prio, nw,
          |  (CASE WHEN fl IS NOT NULL THEN fl
          |        WHEN (${p.chkExtra}) AND n - 1 >= ${p.minN} AND sd > 0.0 AND
@@ -705,7 +713,7 @@ object OracleSql {
        |  FROM s2 GROUP BY source),
        |s3a AS (SELECT s2.doc_id, s2.source, s2.lang, s2.nw, s2.bx, s2.d2, t3.n, ${buddyMeanX("bx")} AS mean, t3.q, t3.s
        |  FROM s2 LEFT JOIN t3 USING (source)),
-       |s3b AS (SELECT doc_id, source, lang, nw, bx, d2, n, mean, sqrt(greatest(${buddyVrX("bx")}, 0.0)) AS sd
+       |s3b AS (SELECT doc_id, source, lang, nw, bx, d2, n, mean, ${buddySdSql(c, "bx")} AS sd
        |  FROM s3a),
        |s3 AS (SELECT doc_id, source, lang, nw, CASE
        |    WHEN d2 IS NULL AND n - 1 >= ${c.buddyMinN} AND sd > 0.0 AND

@@ -57,7 +57,18 @@ object PagesGen {
     minDistinctWordRatio = 0.08,
     langStopMin = Map("en" -> 0.02),
     langMismatchMinConf = 0.05,
-    buddyMinN = 5, buddyZ = 4.0,
+    // buddyZ 3.2 + iteration + σ floor: a planted cluster of k same-group
+    // outliers caps the achievable z at sqrt(n/k) no matter how extreme
+    // they are (they dominate the group σ themselves) — six on one fixture
+    // host measured z_max ≈ 3.5 under n ≈ 96, iteration-proof at z=4, so
+    // the threshold must sit below the cluster ceiling. The σ floor (180
+    // milli-log1p ≈ 0.18 in log1p units, the fgtSdFloor/sig2o-minimum
+    // analog) keeps small-σ hosts from manufacturing z ≥ 3.2 out of noise
+    // (a 79-word sctout doc on a σ=0.14 host measured z 3.4 — a stolen
+    // flag). The reference always iterates its spatial checks to
+    // convergence (i.*=10, test/ini/ta_sct.ini:7); all three knobs were
+    // calibrated via ProfileBuddyCalib/ProfileRepCalib.
+    buddyMinN = 5, buddyZ = 3.2, buddyMaxIter = 4, buddySdFloor = 180.0,
     sctMinN = 5, sctZ = 2.2,
     dualMinN = 5, dualEventWords = 200, dualLoFrac = 0.1, dualHiFrac = 0.95,
     fgtZ = 5.0, fgtSdFloor = 0.3,
@@ -72,12 +83,19 @@ object PagesGen {
     // pipeline is the one the reference actually runs
     dedupIngest = true,
     maxRefsPerGroup = Some(10000),
-    buddyLog1p = true)
+    buddyLog1p = true,
+    // repetition ceilings (503): calibrated on the fixture distribution
+    // (ProfileRepCalib) — ngramspam sits at top2 ≥ 0.24 / top3 ≥ 0.22,
+    // every class not already sticky-flagged earlier at ≤ 0.12; the dup
+    // fractions stay off because windowed clean text legitimately repeats
+    // n-grams (d2 up to ~0.9)
+    maxTop2GramFrac = 0.18,
+    maxTop3GramFrac = 0.17)
 
   val AllClasses: Seq[String] = Seq(
     "clean", "backfill", "meta", "short", "wronglang", "lowstop", "symbol",
     "repeat", "longword", "digit", "longdoc", "gibberish", "buddy", "sctout",
-    "lonely", "blacklisted", "keepclean", "pii", "crossfield")
+    "lonely", "blacklisted", "keepclean", "pii", "crossfield", "ngramspam")
 
   private val vocab: Map[String, Array[String]] =
     LangId.seeds.map { case (l, s) => l -> s.split(" ").filter(_.nonEmpty) }
@@ -183,6 +201,8 @@ object PagesGen {
         val t = cleanText(lang, 130 + rng.nextInt(21), rng)
         page(host, t, lang, htmlOf(t), 1, 10, t)
       case "sctout" =>
+        // moderate outlier: past sct's robust MAD z (2.2) but inside
+        // buddy's floored mean/σ z — distinct detection bands by design
         val t = cleanText(lang, 72 + rng.nextInt(9), rng)
         page(host, t, lang, htmlOf(t), 1, 1, t)
       case "lonely" =>
@@ -202,6 +222,17 @@ object PagesGen {
         // two columns cannot disagree this way on a well-formed page (the
         // cross-variable inconsistency ccrrt.r:91-96 flags as 301)
         page(host, base, lang, "<p></p>".getBytes("UTF-8"), 1, 301, base)
+      case "ngramspam" =>
+        // SEO keyword-stuffing analog: a clean prefix plus one in-vocab
+        // 2-word phrase repeated — word count, distinct ratio, stopwords,
+        // and the LM all stay in the clean range; only the top-n-gram
+        // repetition ceilings (503) see it. The phrase block pushes
+        // rep_top2_frac to ~k/(n−1) ≈ 0.2–0.35 vs ≲ 2/vocab for windowed
+        // clean text.
+        val phrase = cleanText(lang, 2, rng)
+        val t = (Seq(cleanText(lang, 20 + rng.nextInt(9), rng)) ++
+          Seq.fill(12 + rng.nextInt(4))(phrase)).mkString(" ")
+        page(host, t, lang, htmlOf(t), 1, 503, t)
       case other => throw new IllegalArgumentException(other)
     }
   }

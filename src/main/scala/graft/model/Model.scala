@@ -150,6 +150,12 @@ final case class CascadeConfig(
     // variance-stabilizing fixed-point log1p before the buddy z test
     // (boxcox analog, misc/statistics_util.r:101-107)
     buddyLog1p: Boolean = false,
+    // minimum group σ for the buddy z (in x units — milli-log1p when
+    // buddyLog1p). A near-degenerate neighborhood (every doc the same
+    // length) otherwise manufactures huge z from noise; the reference
+    // floors its gaussian spreads the same way (sct's sig2o minimum,
+    // functions/checks/sct_resistant.r; cf. fgtSdFloor). 0 = off.
+    buddySdFloor: Double = 0.0,
     // sct (1) — robust z via median/MAD
     sctMinN: Int = 5,
     sctZ: Double = 3.0,

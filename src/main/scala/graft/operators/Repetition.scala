@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftColumns
+import graft.functions.RepetitionExpr
 
 /** Repetition quality signals — the canonical webtext filter family
   * (Gopher-style "fraction of characters in the most common n-gram" /
@@ -12,15 +14,35 @@ import org.apache.spark.sql.functions._
   * plausibility family (functions/checks/plausibility_test.r) is the analog
   * slot these thresholds plug into (code 503, RowChecks-adjacent).
   *
-  * Scale design: completely row-local — per row, one `array_sort` of the
-  * gram array and ONE linear run-length fold (`aggregate`). No explode, no
-  * groupBy, no shuffle, nothing driver-side: the mode count of a multiset
-  * equals the longest run of its sorted form. A 100 TB corpus pays
-  * O(w log w) per document on its own partition and nothing else. (The
+  * Scale design: completely row-local — all four fractions come from ONE
+  * native codegen'd expression per row ([[graft.functions.RepetitionExpr]]:
+  * tokenize, pack gram keys into primitive longs, sort, run-length scan).
+  * No explode, no groupBy, no shuffle, nothing driver-side: the mode count
+  * of a multiset equals the longest run of its sorted form. A 100 TB corpus
+  * pays O(w log w) per document on its own partition and nothing else. (The
   * naive shape — explode grams + groupBy(doc, gram) — shuffles the entire
-  * token stream of the corpus; don't.)
+  * token stream of the corpus; don't. The in-between shape — `array_sort` +
+  * `aggregate` HOF folds — is also wrong in a fused projection: HOF lambdas
+  * get neither codegen nor common-subexpression elimination, measured 10×
+  * on the cascade; see RepetitionExpr's scaladoc.)
   */
 object Repetition {
+
+  /** Append rep_top2_frac / rep_dup2_frac / rep_top3_frac /
+    * rep_dup3_frac for `textCol`. Row-local; see the scale note above.
+    */
+  def features(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val st = GraftColumns.of(RepetitionExpr(GraftColumns.exprOf(col(textCol))))
+    df.withColumn("_rep", st)
+      .withColumn("rep_top2_frac", col("_rep")("top2"))
+      .withColumn("rep_dup2_frac", col("_rep")("dup2"))
+      .withColumn("rep_top3_frac", col("_rep")("top3"))
+      .withColumn("rep_dup3_frac", col("_rep")("dup3"))
+      .drop("_rep")
+  }
+
+  // ---- executable specification (differential-tested against the native
+  // expression in FeatureSpec; not used in any shipped path) ----
 
   /** Non-empty whitespace tokens. Bind this to its OWN projection column
     * before referencing it inside higher-order lambdas — Spark HOFs get no
@@ -61,10 +83,10 @@ object Repetition {
       when(total > 0, st.getField("dup").cast("double") / total))
   }
 
-  /** Append rep_top2_frac / rep_dup2_frac / rep_top3_frac /
-    * rep_dup3_frac for `textCol`. Row-local; see the scale note above.
+  /** The declarative-HOF form of [[features]], kept as the executable
+    * specification the native expression is differential-tested against.
     */
-  def features(df: DataFrame, textCol: String = "text"): DataFrame = {
+  private[graft] def featuresSpec(df: DataFrame, textCol: String = "text"): DataFrame = {
     val ws = df.withColumn("_rep_ws", words(col(textCol)))
       .withColumn("_rep_g2", grams(col("_rep_ws"), 2))
       .withColumn("_rep_g3", grams(col("_rep_ws"), 3))

@@ -180,6 +180,10 @@ object Neighborhood {
 
     val x = xv
     val (minN, zThresh) = (lit(params.minN), lit(params.z))
+    // σ floor (see CascadeConfig.buddySdFloor); applied after the LOO sd so
+    // a near-degenerate group can't manufacture z from noise
+    def floored(sd: Column): Column =
+      if (cfg.buddySdFloor > 0) greatest(sd, lit(cfg.buddySdFloor)) else sd
     val (mean, sd, looN) =
       if (cfg.maxRefsPerGroup.isEmpty) {
         val nn   = (col("_n") - lit(1)).cast("double")        // leave-one-out count
@@ -187,7 +191,7 @@ object Neighborhood {
         val vr   = when(col("_n") > 2,
           ((col("_q") - x * x).cast("double") - nn * mean * mean) /
             (col("_n") - lit(2)).cast("double"))
-        (mean, sqrt(greatest(vr, lit(0.0))), col("_n") - lit(1))
+        (mean, floored(sqrt(greatest(vr, lit(0.0)))), col("_n") - lit(1))
       } else {
         // neighbor-cap mode: only subtract self if self was sampled into
         // the group statistics (otherwise the LOO algebra double-corrects)
@@ -198,7 +202,7 @@ object Neighborhood {
         val mean = when(m > 0, (col("_s") - xs).cast("double") / m)
         val vr   = when(m > 1,
           ((col("_q") - xs * xs).cast("double") - m * mean * mean) / (m - 1.0))
-        (mean, sqrt(greatest(vr, lit(0.0))), (col("_n") - ns).cast("int"))
+        (mean, floored(sqrt(greatest(vr, lit(0.0)))), (col("_n") - ns).cast("int"))
       }
     val z = when(sd > 0, (x.cast("double") - mean) / sd)
 

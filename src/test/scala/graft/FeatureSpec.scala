@@ -349,6 +349,27 @@ class FeatureSpec extends SparkSpec {
     assert((0 to 3).forall(f(3).isNullAt), "one word → no gram population")
   }
 
+  test("repetition native expression == HOF executable spec on the fixture corpus") {
+    // bit-exact differential: the codegen'd RepetitionExpr against the
+    // declarative sorted-run fold, over real generated texts (incl. the
+    // repeated-phrase and word-salad defect classes), double spaces, and
+    // sub-n-word edge docs
+    val corpus = io.PagesGen.generate(spark, 400)
+      .select(col("url").as("doc_id"), col("text"))
+      .union(Seq(("edge1", "a  b   a b"), ("edge2", " "), ("edge3", "x y"))
+        .toDF("doc_id", "text"))
+    val cols = Seq("doc_id", "rep_top2_frac", "rep_dup2_frac",
+      "rep_top3_frac", "rep_dup3_frac")
+    val native = graft.operators.Repetition.features(corpus)
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect()
+    val spec = graft.operators.Repetition.featuresSpec(corpus)
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect()
+    assert(native.length === spec.length)
+    native.zip(spec).foreach { case (n, s) =>
+      assert(n === s, s"native/spec mismatch for ${n.getString(0)}")
+    }
+  }
+
   test("repetition check 503: ceilings flag, sticky respected, off by default") {
     val df = Seq(
       ("https://h.example/a", 1, "a b a b a b", null.asInstanceOf[Integer]),
