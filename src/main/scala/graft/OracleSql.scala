@@ -494,6 +494,91 @@ object OracleSql {
   def qRollHash: String =
     s"SELECT doc_id, $rollHash AS roll_fp FROM documents ORDER BY doc_id"
 
+  // ---- corpus-level line dedup / decontamination / sampling oracles ----
+
+  /** Mirrors Dedup.lineDedup(wordsPerLine = k): fixed-width word-window
+    * lines, corpus-wide keep-the-first (min doc_id, then min line_no), md5
+    * of the newline-reassembled surviving text per doc.
+    */
+  def qLineDedup(k: Int): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |ix AS (SELECT doc_id, ws,
+       |  unnest(range(0, CAST(ceil(len(ws) / CAST($k AS DOUBLE)) AS BIGINT))) AS i FROM w),
+       |lh AS (SELECT doc_id, CAST(i AS INT) AS line_no,
+       |  array_to_string(list_slice(ws, CAST(i AS INT) * $k + 1, CAST(i AS INT) * $k + $k), ' ') AS line
+       |  FROM ix),
+       |lf AS (SELECT doc_id, line_no, line, md5(line) AS lfp FROM lh),
+       |k1 AS (SELECT lfp, min(doc_id) AS kdoc FROM lf GROUP BY 1),
+       |k2 AS (SELECT lf.lfp, k1.kdoc, min(lf.line_no) AS kline
+       |       FROM k1 JOIN lf ON lf.lfp = k1.lfp AND lf.doc_id = k1.kdoc GROUP BY 1, 2),
+       |kept AS (SELECT lf.doc_id, lf.line_no, lf.line FROM lf
+       |         JOIN k2 ON lf.lfp = k2.lfp AND lf.doc_id = k2.kdoc AND lf.line_no = k2.kline),
+       |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |       md5(array_to_string(list(line ORDER BY line_no), chr(10))) AS kept_fp
+       |       FROM kept GROUP BY doc_id),
+       |aa AS (SELECT doc_id, COUNT(*) AS n_lines FROM lf GROUP BY doc_id)
+       |SELECT aa.doc_id, CAST(aa.n_lines AS BIGINT) AS n_lines,
+       |  CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+       |  COALESCE(ka.kept_fp, md5('')) AS kept_fp
+       |FROM aa LEFT JOIN ka USING (doc_id) ORDER BY aa.doc_id""".stripMargin
+
+  /** Mirrors Dedup.decontaminate over the split documents WHERE doc_id %
+    * `mod` == `res` (benchmark) vs the rest (corpus), same shingle width.
+    */
+  def qDecontaminate(n: Int, mod: Int, res: Int): String = {
+    def sh(name: String, where: String): String =
+      shinglesCte(n).replace("sh AS", s"$name AS")
+        .replace("FROM documents", s"FROM documents WHERE $where")
+    s"""WITH ${sh("cs", s"doc_id % $mod <> $res")},
+       |${sh("bs0", s"doc_id % $mod = $res")},
+       |bs AS (SELECT DISTINCT shingle FROM bs0),
+       |cards AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cs GROUP BY 1),
+       |hits AS (SELECT cs.doc_id, COUNT(*) AS n_contam
+       |         FROM cs JOIN bs USING (shingle) GROUP BY 1)
+       |SELECT hits.doc_id, CAST(n_contam AS BIGINT) AS n_contam,
+       |  CAST(n_shingles AS BIGINT) AS n_shingles,
+       |  CAST(n_contam AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contam_frac
+       |FROM hits JOIN cards USING (doc_id) ORDER BY hits.doc_id""".stripMargin
+  }
+
+  /** Mirrors Sampling.rateHex — must stay in lockstep with the Scala side. */
+  def rateHexSql(rate: Double): String =
+    if (rate >= 1.0) "zzzzzzzz"
+    else f"${math.max(0L, (rate * 4294967296.0).toLong)}%08x"
+
+  /** Mirrors Sampling.stratifiedHash over documents keyed by lang. */
+  def qSampleStratified(rates: Map[String, Double], defaultRate: Double,
+                        salt: String): String = {
+    val cases = rates.toSeq.sortBy(_._1)
+      .map { case (k, r) => s"WHEN '$k' THEN '${rateHexSql(r)}'" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE substr(md5('$salt#' || CAST(doc_id AS VARCHAR)), 1, 8) <
+       |  (CASE lang $cases ELSE '${rateHexSql(defaultRate)}' END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Mirrors Sampling.qualityBuckets over documents with strata = lang and
+    * score = mean word length: exact tercile cut points from the
+    * distinct-value histogram.
+    */
+  def qQualityBuckets: String =
+    s"""WITH f AS (SELECT doc_id, lang, $mwl AS score FROM documents),
+       |h AS (SELECT lang, score, COUNT(*) AS c FROM f
+       |      WHERE score IS NOT NULL GROUP BY 1, 2),
+       |cum AS (SELECT lang, score, c,
+       |        SUM(c) OVER (PARTITION BY lang ORDER BY score) AS cumc FROM h),
+       |tot AS (SELECT lang, SUM(c) AS n FROM h GROUP BY 1),
+       |cuts AS (SELECT cum.lang,
+       |  MIN(CASE WHEN cumc >= ceil(n / 3.0) THEN score END) AS c1,
+       |  MIN(CASE WHEN cumc >= ceil(n * 2.0 / 3.0) THEN score END) AS c2
+       |  FROM cum JOIN tot USING (lang) GROUP BY 1)
+       |SELECT f.doc_id, f.lang,
+       |  CASE WHEN f.score IS NULL THEN NULL
+       |       WHEN f.score <= c1 THEN 'head'
+       |       WHEN f.score <= c2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM f LEFT JOIN cuts USING (lang) ORDER BY f.doc_id""".stripMargin
+
   // ---- multimodal plumbing oracles ----
   // The synthetic payload is bin = unhex(magic(doc_id%5) || repeat(md5(text),4));
   // its canonical hex string H lets DuckDB mirror every binary op as a

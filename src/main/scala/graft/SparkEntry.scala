@@ -9,7 +9,7 @@ import graft.cascade.Cascade
 import graft.io.{Docs, PagesGen}
 import graft.functions.TextFeatures
 import graft.ml.Scrubber
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity}
 import graft.operators.{Repetition => RepetitionOp}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -60,6 +60,12 @@ object SparkEntry {
     // exercises the predicate on a frame with genuinely divergent html
     enabled = Set(Metadata, CrossField, LangMismatch, Plausibility, LangBounds,
       FlagCodes.Repetition, SctDual, Buddy, Sct, Isolation))
+
+  /** Stratified-sampling query parameters (Spark + oracle share them). */
+  val SampleRates: Map[String, Double] =
+    Map("en" -> 0.5, "es" -> 0.25, "zh" -> 0.1)
+  val SampleDefaultRate = 0.75
+  val SampleSalt = "graft-r3"
 
   /** z threshold for the convergence-iteration query (tighter than docCfg's
     * sctZ so that round 2 demonstrably flags more rows at the oracle SFs).
@@ -198,6 +204,39 @@ object SparkEntry {
         .groupBy(TextFeatures.fingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("n_dups"), min("doc_id").as("keep_id"))
         .orderBy("fp")),
+
+    // corpus-level line dedup (CCNet/RefinedWeb shape): keep the first
+    // occurrence of every 10-word line across the whole corpus, report
+    // per-doc survival + the reassembled-text fingerprint
+    "q_dedup_lines" -> ((s, dir) =>
+      Dedup.lineDedup(Docs.read(s, dir), "text", "doc_id", wordsPerLine = 10)
+        .orderBy("doc_id")),
+
+    // benchmark decontamination: docs sharing any 3-gram with the held-out
+    // "benchmark" split (doc_id % 20 == 7); the benchmark shingle set is
+    // broadcast — the 100 TB shape for eval-contamination removal
+    "q_decontaminate" -> ((s, dir) => {
+      val d = Docs.read(s, dir)
+      Dedup.decontaminate(
+        d.filter(pmod(col("doc_id"), lit(20)) =!= 7),
+        d.filter(pmod(col("doc_id"), lit(20)) === 7),
+        "text", "doc_id", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // deterministic stratified sampling: per-lang hash-threshold keep rates,
+    // zero-shuffle row-local filter (resumable + reproducible at 10^12 docs)
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedHash(Docs.read(s, dir), "doc_id", "lang",
+          SampleRates, SampleDefaultRate, SampleSalt)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // CCNet-style per-lang quality terciles (head/middle/tail) with exact
+    // cut points from the distinct-value histogram
+    "q_quality_buckets" -> ((s, dir) =>
+      Sampling.qualityBuckets(Docs.read(s, dir), "lang",
+          TextFeatures.meanWordLen(col("text")))
+        .select("doc_id", "lang", "bucket").orderBy("doc_id")),
 
     // ---- dedup operators (near-dup family) ----
     // CONTRACT NOTE: this query computes Jaccard over df-PRUNED shingle
@@ -418,6 +457,11 @@ object SparkEntry {
         |CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
         |CAST(SUM(CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_dedup_lines"     -> OracleSql.qLineDedup(10),
+    "q_decontaminate"   -> OracleSql.qDecontaminate(3, 20, 7),
+    "q_sample_stratified" ->
+      OracleSql.qSampleStratified(SampleRates, SampleDefaultRate, SampleSalt),
+    "q_quality_buckets" -> OracleSql.qQualityBuckets,
     "q_dedup_jaccard" -> OracleSql.qDedupJaccard(3, 0.2, 100),
     "q_dedup_minhash" -> OracleSql.qDedupMinhash(3, 2),
     "q_dedup_simhash" -> OracleSql.qSimhash64,

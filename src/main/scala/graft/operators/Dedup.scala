@@ -81,6 +81,88 @@ object Dedup {
       .select("id_a", "id_b", "inter", "card_a", "card_b", "jaccard")
   }
 
+  /** Fixed-width "lines" of a document: non-overlapping `wordsPerLine`-word
+    * chunks, numbered from 0. A web page's natural unit for corpus-level
+    * near-dup removal is the line/paragraph (boilerplate navigation, cookie
+    * banners, footers repeat across millions of pages); the driver corpus
+    * carries no newlines, so the chunking boundary is a deterministic word
+    * window — the operator is agnostic to how the boundary was produced.
+    * Every doc yields at least one line (an empty text is one empty line),
+    * so the reassembly below covers every input row.
+    */
+  def lines(df: DataFrame, textCol: String, idCol: String,
+            wordsPerLine: Int): DataFrame = {
+    val w = col("_w")
+    val nLines = ceil(size(w) / lit(wordsPerLine.toDouble)).cast("int")
+    df.select(col(idCol), split(col(textCol), " ").as("_w"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), nLines - 1),
+          i => concat_ws(" ", slice(w, i * wordsPerLine + 1, lit(wordsPerLine)))))
+        .as(Seq("line_no", "line")))
+  }
+
+  /** Corpus-level line dedup (the CCNet/RefinedWeb shape): a line occurrence
+    * survives only if it is the FIRST occurrence of that line in the whole
+    * corpus — minimum doc id, then minimum line number within that doc —
+    * mirroring the reference's keep-the-first duplicate semantics
+    * (read_data_to_check.r:122-143) one level below the document. Output is
+    * one row per input doc: total lines, surviving lines, and the md5 of the
+    * newline-reassembled surviving text (order-preserving).
+    *
+    * Scale shape: explode → groupBy(line fingerprint) with a min(struct)
+    * aggregate (map-side combinable; the lexicographic struct min IS the
+    * keeper rule) → semi join back → per-doc reassembly whose state is
+    * bounded by the doc's own line count. No windows, no all-pairs.
+    */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+                wordsPerLine: Int = 10): DataFrame = {
+    // materialized once: feeds the keeper aggregate, the semi join probe
+    // side, and the per-doc totals
+    val ln = lines(df, textCol, idCol, wordsPerLine)
+      .withColumn("_lfp", md5(col("line")))
+      .localCheckpoint(false)
+    val keep = ln.groupBy("_lfp")
+      .agg(min(struct(col(idCol), col("line_no"))).as("_k"))
+      .select(col("_lfp"), col(s"_k.$idCol").as(idCol),
+        col("_k.line_no").as("line_no"))
+    val kept = ln.join(keep, Seq("_lfp", idCol, "line_no"), "left_semi")
+    val keptAgg = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      md5(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+          s => s("line")))).as("kept_fp"))
+    val allAgg = ln.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    allAgg.join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with a benchmark/eval set (the GPT-3/Llama training-data
+    * hygiene step). Returns one row per CONTAMINATED corpus doc with the
+    * contaminated-shingle count, the doc's distinct-shingle cardinality,
+    * and their ratio.
+    *
+    * Scale shape: the benchmark side is eval suites — thousands of docs,
+    * ~10⁵ distinct shingles at 100 TB corpus scale — so its distinct
+    * shingle set is BROADCAST and the corpus-side probe is a map-local
+    * semi join on the exploded shingles; the only shuffle is the per-doc
+    * count aggregate (map-side combinable).
+    */
+  def decontaminate(corpus: DataFrame, bench: DataFrame,
+                    textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val cs = shingles(corpus, textCol, idCol, n).localCheckpoint(false)
+    val bs = shingles(bench, textCol, idCol, n).select("shingle").distinct()
+    val cards = cs.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val hits = cs.join(broadcast(bs), Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contam"))
+    hits.join(cards, Seq(idCol))
+      .withColumn("contam_frac",
+        col("n_contam").cast("double") / col("n_shingles").cast("double"))
+      .select(idCol, "n_contam", "n_shingles", "contam_frac")
+  }
+
   /** MinHash signature components: for permutation i, the minimum md5 of
     * (i || '#' || shingle) — lexicographic min of a keyed cryptographic
     * hash is a valid minwise permutation and is portable to the SQL oracle

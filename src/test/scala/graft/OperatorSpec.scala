@@ -127,6 +127,68 @@ class OperatorSpec extends SparkSpec {
     assert(v1.forall(v => v.length == 8 && v.forall(x => x >= 0.0 && x < 1.0)))
   }
 
+  test("line dedup keeps the first corpus-wide occurrence of every line") {
+    val d = Seq(
+      (1L, "a b c d e f"),       // lines: "a b c", "d e f" — both first
+      (2L, "a b c x y z"),       // "a b c" dup of doc 1 → only "x y z" kept
+      (3L, "d e f d e f")        // both lines dup (doc 1 + within-doc)
+    ).toDF("doc_id", "text")
+    val res = Dedup.lineDedup(d, "text", "doc_id", wordsPerLine = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(res(1L)._1 == 2 && res(1L)._2 == 2)
+    assert(res(2L)._1 == 2 && res(2L)._2 == 1)
+    assert(res(3L)._1 == 2 && res(3L)._2 == 0)
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.empty[Byte]).map("%02x".format(_)).mkString
+    assert(res(3L)._3 == emptyMd5)
+    // within-doc duplicate line: second occurrence dropped, first kept
+    val res2 = Dedup.lineDedup(Seq((9L, "p q r p q r")).toDF("doc_id", "text"),
+      "text", "doc_id", wordsPerLine = 3).collect().head
+    assert(res2.getLong(1) == 2 && res2.getLong(2) == 1)
+  }
+
+  test("decontaminate flags corpus docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (10L, "the quick brown cat sits here quietly today"),  // shares "the quick brown"
+      (11L, "entirely disjoint content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((90L, "the quick brown fox")).toDF("doc_id", "text")
+    val res = Dedup.decontaminate(corpus, bench, "text", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(res.length == 1)
+    val (id, contam, card, frac) = res.head
+    assert(id == 10L && contam == 1L && card == 6L && frac == 1.0 / 6.0)
+  }
+
+  test("stratified hash sampling: exact 0/1 rates, deterministic, nested") {
+    val d = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    def ids(rates: Map[String, Double], default: Double) =
+      graft.operators.Sampling.stratifiedHash(d, "doc_id", "lang", rates, default, "s")
+        .select("doc_id").as[Long].collect().toSet
+    assert(ids(Map("en" -> 0.0), 0.0).isEmpty)
+    val all = ids(Map("en" -> 1.0), 1.0)
+    assert(all.size == 400)
+    val half = ids(Map("en" -> 0.5, "de" -> 0.5), 0.5)
+    assert(half == ids(Map("en" -> 0.5, "de" -> 0.5), 0.5)) // deterministic
+    assert(math.abs(half.size - 200) < 60)                  // ~rate
+    // hash-threshold sampling nests: a lower rate is a subset of a higher
+    assert(ids(Map("en" -> 0.2, "de" -> 0.2), 0.2).subsetOf(half))
+  }
+
+  test("quality buckets: exact terciles per stratum, null score = null bucket") {
+    val d = ((1 to 9).map(i => ("en", i.toLong, i.toDouble)) :+ ("en", 10L, Double.NaN))
+      .toDF("lang", "doc_id", "score")
+      .withColumn("score", when(isnan(col("score")), lit(null)).otherwise(col("score")))
+    val res = graft.operators.Sampling.qualityBuckets(d, "lang", col("score"))
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    (1 to 3).foreach(i => assert(res(i.toLong).contains("head")))
+    (4 to 6).foreach(i => assert(res(i.toLong).contains("middle")))
+    (7 to 9).foreach(i => assert(res(i.toLong).contains("tail")))
+    assert(res(10L).isEmpty)
+  }
+
   test("rolling hash: stable, whitespace-token sensitive, bounded") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("id", "text")
     val h = df.select(col("id"), graft.functions.TextFeatures.rollingHash(col("text")).as("h"))
