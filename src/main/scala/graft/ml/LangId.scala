@@ -12,6 +12,15 @@ import scala.collection.mutable
   * Deterministic: profiles are char-trigram relative frequencies of fixed
   * seed corpora (public common words); scoring is a sparse cosine overlap.
   * No external data, no RNG.
+  *
+  * The per-row hot path (`detect`) never materializes the normalized text
+  * or any trigram string: the normalizer is a char-level state machine
+  * emitting 5-bit codes (space=0, a–z=1..26), trigrams pack into an int
+  * < 27³, counts come from a sort + run-length scan of one int array, and
+  * language weights live in one flat dense double array indexed by
+  * [trigram·nLangs + lang]. `detectReference` keeps the original
+  * string-based implementation as the executable spec (FeatureSpec asserts
+  * same language and near-identical margins).
   */
 final case class LangIdModel(profiles: Map[String, Map[String, Double]]) extends Serializable {
 
@@ -20,26 +29,27 @@ final case class LangIdModel(profiles: Map[String, Map[String, Double]]) extends
   @transient private lazy val sortedProfiles: Array[(String, Map[String, Double])] =
     profiles.toArray.sortBy(_._1)
 
-  /** Trigram → per-language weight vector, merged once per JVM: scoring
-    * probes ONE map per document trigram instead of one per language. The
-    * per-language dot products accumulate in the same document-iteration
-    * order as the per-language loop did, and skipping an absent trigram is
-    * adding +0.0 to a non-negative sum — both bit-exact no-ops — so
-    * detect() output is unchanged (the hot path is consulted once per row
-    * by the fused model-feature UDF).
+  @transient private lazy val langNames: Array[String] = sortedProfiles.map(_._1)
+
+  /** Flat dense weight table: weight of trigram key g for language i at
+    * [g·nLangs + i]. 27³·nLangs doubles (~0.8 MB at 5 languages), built
+    * once per JVM from the string-keyed profiles; absent trigrams are 0.0,
+    * so a probe is one multiply-add with no branch or map lookup.
     */
-  @transient private lazy val mergedProfiles: java.util.HashMap[String, Array[Double]] = {
-    val m = new java.util.HashMap[String, Array[Double]]()
+  @transient private lazy val denseWeights: Array[Double] = {
+    val nLangs = sortedProfiles.length
+    val w = new Array[Double](27 * 27 * 27 * nLangs)
     var i = 0
-    while (i < sortedProfiles.length) {
-      sortedProfiles(i)._2.foreach { case (g, w) =>
-        var arr = m.get(g)
-        if (arr == null) { arr = new Array[Double](sortedProfiles.length); m.put(g, arr) }
-        arr(i) = w
+    while (i < nLangs) {
+      sortedProfiles(i)._2.foreach { case (g, v) =>
+        require(g.length == 3, s"non-trigram profile key: '$g'")
+        val key = ((LangId.code(g.charAt(0)) * 27) + LangId.code(g.charAt(1))) * 27 +
+          LangId.code(g.charAt(2))
+        w(key * nLangs + i) = v
       }
       i += 1
     }
-    m
+    w
   }
 
   /** (bestLang, confidence) — confidence is the margin between the best and
@@ -48,16 +58,51 @@ final case class LangIdModel(profiles: Map[String, Map[String, Double]]) extends
     */
   def detect(text: String): (String, Double) = {
     if (text == null || text.isEmpty) return ("und", 0.0)
+    val keys = LangId.trigramKeys(text)
+    if (keys == null || keys.length == 0) return ("und", 0.0)
+    java.util.Arrays.sort(keys)
+    val nLangs = sortedProfiles.length
+    val weights = denseWeights
+    val dots = new Array[Double](nLangs)
+    var sumSq = 0.0
+    var i = 0
+    while (i < keys.length) {
+      val g = keys(i)
+      var c = 1
+      while (i + 1 < keys.length && keys(i + 1) == g) { c += 1; i += 1 }
+      sumSq += c.toDouble * c
+      val base = g * nLangs
+      var j = 0
+      while (j < nLangs) { dots(j) += c * weights(base + j); j += 1 }
+      i += 1
+    }
+    val norm = math.sqrt(sumSq)
+    var best = "und"; var bestS = 0.0; var second = 0.0
+    var j = 0
+    while (j < nLangs) {
+      val dot = dots(j) / norm
+      if (dot > bestS) { second = bestS; bestS = dot; best = langNames(j) }
+      else if (dot > second) second = dot
+      j += 1
+    }
+    if (bestS <= 0.0) ("und", 0.0) else (best, bestS - second)
+  }
+
+  /** Original string-based implementation — the executable spec for
+    * `detect` (one probe of a merged string-keyed map per doc trigram).
+    */
+  def detectReference(text: String): (String, Double) = {
+    if (text == null || text.isEmpty) return ("und", 0.0)
     val doc = LangId.profile(text)
     if (doc.isEmpty) return ("und", 0.0)
     val nLangs = sortedProfiles.length
     val dots = new Array[Double](nLangs)
     doc.foreach { case (g, w) =>
-      val arr = mergedProfiles.get(g)
-      if (arr != null) {
-        var i = 0
-        while (i < nLangs) { dots(i) += w * arr(i); i += 1 }
-      }
+      val key = ((LangId.code(g.charAt(0)) * 27) + LangId.code(g.charAt(1))) * 27 +
+        LangId.code(g.charAt(2))
+      val base = key * nLangs
+      var i = 0
+      while (i < nLangs) { dots(i) += w * denseWeights(base + i); i += 1 }
     }
     var best = "und"; var bestS = 0.0; var second = 0.0
     var i = 0
@@ -92,6 +137,60 @@ object LangId {
     "it" -> ("la rapida volpe marrone salta sopra il cane pigro e lei ha detto che era " +
       "bello vederli nella casa con un amico perche la gente pensa che l acqua e il tempo " +
       "sono cio di cui hanno bisogno per una lunga vita in questo mondo oggi con molte cose"))
+
+  /** 5-ish-bit char code of the normalized alphabet: space=0, a–z=1..26. */
+  private[ml] def code(c: Char): Int = if (c == ' ') 0 else c - 'a' + 1
+
+  /** Packed trigram keys of the normalized text — the allocation-light twin
+    * of `profile`'s trigram enumeration: lowercase, [^a-z] → space,
+    * collapse space runs, pad one space each side, then every consecutive
+    * 3-gram packed as ((c0·27)+c1)·27+c2. Returns null when the normalized
+    * text has no letters (profile() would be empty).
+    */
+  private[ml] def trigramKeys(text: String): Array[Int] = {
+    val len = text.length
+    var out = new Array[Int](math.min(math.max(len, 4), 1 << 16))
+    var n = 0
+    // c0/c1: previous two emitted codes; emitted: count so far (leading pad
+    // space is emission #1)
+    var c0 = 0; var c1 = 0; var emitted = 1; var anyLetter = false
+    var lastWasSpace = true // the virtual leading pad space
+    var i = 0
+    while (i < len) {
+      var c = text.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      else if (c >= 128) c = Character.toLowerCase(c)
+      if (c >= 'a' && c <= 'z') {
+        val cc = c - 'a' + 1
+        anyLetter = true
+        emitted += 1
+        if (emitted >= 3) {
+          if (n == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+          out(n) = (c0 * 27 + c1) * 27 + cc; n += 1
+        }
+        c0 = c1; c1 = cc; lastWasSpace = false
+      } else if (!lastWasSpace) {
+        emitted += 1
+        if (emitted >= 3) {
+          if (n == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+          out(n) = (c0 * 27 + c1) * 27; n += 1
+        }
+        c0 = c1; c1 = 0; lastWasSpace = true
+      }
+      i += 1
+    }
+    if (!anyLetter) return null
+    // trailing pad space (profile()'s " " suffix); if the text ended on a
+    // separator the space was already emitted by the collapse above
+    if (!lastWasSpace) {
+      emitted += 1
+      if (emitted >= 3) {
+        if (n == out.length) out = java.util.Arrays.copyOf(out, out.length + 1)
+        out(n) = (c0 * 27 + c1) * 27; n += 1
+      }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
 
   /** Char-trigram relative-frequency profile of lowercased, space-padded
     * text (the fastText subword analog).

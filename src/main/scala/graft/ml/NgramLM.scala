@@ -16,6 +16,15 @@ import scala.util.hashing.MurmurHash3
   * aggregate, keep the top-K by count (bounding the broadcast at scale),
   * collect once on the driver. `seed` varies the hash so several models
   * form an ensemble (TITAN's ensemble members, read_fgs.r:78-110).
+  *
+  * The whole pipeline — training gram pass, background stats, and the
+  * per-row scoring hot path — works on TOKEN HASHES (`tokenHashes`), never
+  * on token strings: a token's identity is its Java String hashCode,
+  * computed incrementally from the characters in one pass. One Int array
+  * per document is the only allocation; the old tokenize→Array[String]
+  * path allocated a lowercased copy of the text plus one String per token,
+  * which at millions of docs per executor was the dominant garbage (and
+  * memory-bandwidth) source of the dominant cascade stage.
   */
 final case class NgramLMModel(
     order: Int,
@@ -44,13 +53,16 @@ final case class NgramLMModel(
       (MurmurHash3.finalizeHash(h2, n).toLong & 0xffffffffL)
   }
 
-  /** Allocation-free twin of `key` over an array slice [from, until). */
-  def sliceKey(arr: Array[String], from: Int, until: Int): Long = {
+  /** Allocation-free twin of `key` over a token-hash slice [from, until)
+    * (an Int's `##` is itself, so mixing the hash directly is bit-identical
+    * to mixing `token.##` over the corresponding string tokens).
+    */
+  def sliceKey(arr: Array[Int], from: Int, until: Int): Long = {
     var h1 = seed
     var h2 = seed ^ 0x5bd1e995
     var i = from
     while (i < until) {
-      val eh = arr(i).##
+      val eh = arr(i)
       h1 = MurmurHash3.mix(h1, eh)
       h2 = MurmurHash3.mix(h2, eh)
       i += 1
@@ -61,9 +73,9 @@ final case class NgramLMModel(
   }
 
   /** Stupid-backoff log10 score of position `i` — hot path: no per-level
-    * List allocations, hashes computed over array slices in place.
+    * allocations, gram keys computed over the token-hash array in place.
     */
-  private def scoreAt(arr: Array[String], i: Int): Double = {
+  private def scoreAt(arr: Array[Int], i: Int): Double = {
     var n = math.min(i, order - 1)
     var alpha = 1.0
     while (n > 0) {
@@ -80,9 +92,9 @@ final case class NgramLMModel(
       (totalUnigrams + vocabSize + 1).toDouble)
   }
 
-  /** Per-word log10 perplexity over pre-tokenized input (lets an ensemble
+  /** Per-word log10 perplexity over pre-hashed tokens (lets an ensemble
     * share one tokenization pass). */
-  def logPerplexityTokens(toks: Array[String]): Double = {
+  def logPerplexityTokens(toks: Array[Int]): Double = {
     if (toks == null || toks.isEmpty) return Double.MaxValue
     var sum = 0.0
     var i = 0
@@ -96,18 +108,55 @@ final case class NgramLMModel(
   /** Per-word log10 perplexity of a document (higher = more surprising). */
   def logPerplexity(text: String): Double = {
     if (text == null) return Double.MaxValue
-    logPerplexityTokens(NgramLM.tokenize(text))
+    logPerplexityTokens(NgramLM.tokenHashes(text))
   }
 }
 
 object NgramLM {
 
-  // precompiled once: String.split(regex) recompiles the pattern per call,
-  // which is measurable at millions of rows
+  // reference tokenizer, kept as the spec for `tokenHashes` (FeatureSpec
+  // asserts tokenHashes == tokenize(_).map(_.##)); String.split(regex)
+  // recompiles per call, so precompile
   private val TokenRe = java.util.regex.Pattern.compile("[^a-z0-9]+")
 
   def tokenize(text: String): Array[String] =
     TokenRe.split(text.toLowerCase).filter(_.nonEmpty)
+
+  /** Token-hash stream of a document: the Java String hashCodes of
+    * `tokenize(text)`, computed in ONE pass over the original characters
+    * with no intermediate strings. A token is a maximal run of [a-z0-9]
+    * after lowercasing; its hashCode accumulates as 31·h + c over the run.
+    * ASCII A–Z lowercases arithmetically; everything else goes through
+    * Character.toLowerCase (non-ASCII lowercase output is outside [a-z0-9]
+    * and thus a separator, exactly like the regex form).
+    */
+  def tokenHashes(text: String): Array[Int] = {
+    if (text == null) return Array.emptyIntArray
+    val len = text.length
+    var out = new Array[Int](math.min(math.max(len >> 3, 4), 1 << 16))
+    var n = 0
+    var h = 0
+    var inRun = false
+    var i = 0
+    while (i < len) {
+      var c = text.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      else if (c >= 128) c = Character.toLowerCase(c)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        h = 31 * h + c
+        inRun = true
+      } else if (inRun) {
+        if (n == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+        out(n) = h; n += 1; h = 0; inRun = false
+      }
+      i += 1
+    }
+    if (inRun) {
+      if (n == out.length) out = java.util.Arrays.copyOf(out, out.length + 1)
+      out(n) = h; n += 1
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
 
   /** Distributed training over a text column: one generator pass explodes
     * every 1..order-gram, a hash-keyed two-level aggregation counts them
@@ -118,13 +167,15 @@ object NgramLM {
             order: Int = 3, seed: Int = 17, topK: Int = 200000,
             totalUni: Option[Long] = None): NgramLMModel = {
     import spark.implicits._
-    val model0 = NgramLMModel(order, seed, LongLongMap.empty, 0L, 0L) // for key()
+    val model0 = NgramLMModel(order, seed, LongLongMap.empty, 0L, 0L) // for sliceKey()
     val grams = df.select(col(textCol)).as[String]
       .filter(_ != null)
       .flatMap { text =>
-        val toks = tokenize(text)
-        (1 to order).iterator.flatMap(n => toks.sliding(n).filter(_.length == n))
-          .map(g => (model0.key(g.toSeq), if (g.length == 1) 1 else 0))
+        val th = tokenHashes(text)
+        (1 to order).iterator.flatMap { n =>
+          (0 to th.length - n).iterator
+            .map(i => (model0.sliceKey(th, i, i + n), if (n == 1) 1 else 0))
+        }
       }
       .toDF("k", "isUni")
 
@@ -144,19 +195,22 @@ object NgramLM {
   def totalUnigrams(spark: SparkSession, df: DataFrame, textCol: String): Long = {
     import spark.implicits._
     df.select(col(textCol)).as[String].filter(_ != null)
-      .map(t => tokenize(t).length.toLong).reduce(_ + _)
+      .map(t => tokenHashes(t).length.toLong).reduce(_ + _)
   }
 
   /** Per-language (mean, sd) perplexity backgrounds for ALL ensemble
-    * members in one scoring pass over the corpus (each text is tokenized
-    * once per member inside the same map).
+    * members in one scoring pass over the corpus (each text is hashed
+    * once and shared by every member inside the same map).
     */
   def pplStatsAll(spark: SparkSession, df: DataFrame, textCol: String, langCol: String,
                   models: Seq[NgramLMModel]): Seq[Map[String, (Double, Double)]] = {
     import spark.implicits._
     val ms = models // serializable closure capture
     val scored = df.select(col(langCol).as[String], col(textCol).as[String])
-      .map { case (lang, text) => (lang, ms.map(_.logPerplexity(text))) }
+      .map { case (lang, text) =>
+        val th = if (text == null) null else tokenHashes(text)
+        (lang, ms.map(_.logPerplexityTokens(th)))
+      }
       .toDF("lang", "ppls")
     val aggs = models.indices.flatMap(i => Seq(
       avg(col("ppls").getItem(i)).as(s"m$i"),

@@ -132,7 +132,7 @@ object ModelChecks {
     val featUdf = udf((t: String) => {
       val m = pin.m
       val det = m.langId.detect(t)
-      val toks = if (t == null) Array.empty[String] else graft.ml.NgramLM.tokenize(t)
+      val toks = graft.ml.NgramLM.tokenHashes(t)
       val ppls = Array.tabulate(m.lms.size)(i => m.lms(i).logPerplexityTokens(toks))
       (det._1, det._2, ppls)
     })

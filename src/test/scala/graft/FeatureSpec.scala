@@ -193,8 +193,46 @@ class FeatureSpec extends SparkSpec {
     val lm = graft.ml.NgramLMModel(3, 17, graft.ml.LongLongMap.empty, 0L, 0L)
     val lm2 = graft.ml.NgramLMModel(2, 101, graft.ml.LongLongMap.empty, 0L, 0L)
     val arr = Array("alpha", "beta", "gamma", "delta")
+    val hashes = arr.map(_.##)
     for (m <- Seq(lm, lm2); from <- 0 to 3; until <- from + 1 to 4)
-      assert(m.sliceKey(arr, from, until) === m.key(arr.slice(from, until).toSeq))
+      assert(m.sliceKey(hashes, from, until) === m.key(arr.slice(from, until).toSeq))
+  }
+
+  test("langid packed-trigram detect matches the string-based reference impl") {
+    val m = graft.ml.LangId.default
+    val samples = graft.ml.LangId.seeds.values.toSeq ++ Seq(
+      "The quick brown fox jumps over the lazy dog",
+      "der schnelle braune Fuchs und die faulen Hunde",
+      "la gente piensa que el agua es buena",
+      "1234 5678 !!!", "", "   ", "a", "ab",
+      "mixed English text avec quelques mots francais",
+      "zzqq zzqq zzqq gibberish tokens qqzz",
+      "punct, only; at. the? end!")
+    samples.foreach { s =>
+      val fast = m.detect(s)
+      val ref = m.detectReference(s)
+      assert(fast._1 === ref._1, s"lang mismatch on: '$s'")
+      assert(math.abs(fast._2 - ref._2) <= 1e-9 * math.max(1.0, math.abs(ref._2)),
+        s"margin drift on: '$s' fast=${fast._2} ref=${ref._2}")
+    }
+    assert(m.detect(null) === (("und", 0.0)))
+  }
+
+  test("tokenHashes is bit-identical to tokenize(_).map(_.##)") {
+    import graft.ml.NgramLM
+    val samples = Seq(
+      "The quick BROWN fox-jumps  over 42 lazy dogs!",
+      "", "   ", "a", "A1b2C3", "!!!???", "trailing token",
+      "punct.at.end.", ".leading", "tabs\tand\nnewlines\r\nmix",
+      "digits 0123456789 and MiXeD CaSe ToKeNs",
+      "café naïve résumé",       // accented latin
+      "中文 mixed with ascii words",          // CJK separators
+      "x" * 300 + " " + "y" * 5)
+    samples.foreach { s =>
+      assert(NgramLM.tokenHashes(s).toSeq === NgramLM.tokenize(s).map(_.##).toSeq,
+        s"mismatch on: $s")
+    }
+    assert(NgramLM.tokenHashes(null).isEmpty)
   }
 
   test("LongLongMap: getOrElse/contains parity with Map, incl. 0L key and collisions") {
