@@ -18,12 +18,15 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    if (args.length > 2 && args(2) == "explain") df.explain("formatted")
-    for (i <- 1 to 2) {
+    // comma-separated names run in sequence in ONE JVM (Bench-order
+    // degradation repro); each is timed Bench-style: construction + count
+    name.split(",").foreach { nm =>
       val t0 = System.nanoTime()
+      val df = SparkEntry.queries(nm)(spark, sfDir)
+      if (args.length > 2 && args(2) == "explain") df.explain("formatted")
       val n = df.count()
-      println(f"[probe] $name run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.3f s")
+      println(f"[probe] $nm rows=$n time=${(System.nanoTime() - t0) / 1e9}%.3f s (construct+count)")
+      ScalingBench.reapCheckpoints(spark)
     }
     spark.stop()
   }

@@ -147,24 +147,56 @@ object Cascade {
     b.result()
   }
 
+  /** Synthetic 1:1 reattach key for the payload split. Assigned once, on
+    * the frame that is then materialized — both the light and the payload
+    * side read the SAME frozen blocks, so the (per-run, partition-derived)
+    * ids are consistent between them by construction.
+    */
+  private val RowId = "_graft_rid"
+
+  /** Columns the post-prefix stages actually read. Every `text`/`html`
+    * consumer (metadata, backfill, scrub, model features, cross-field,
+    * repetition) is row-local and runs in the prefix BEFORE the first
+    * self-join stage; the neighborhood family reads only the group keys
+    * (domain, lang), the row state (doit, prio, dqc), the url (salting and
+    * the deterministic neighbor-cap hash) and the numeric `f_*` features.
+    */
+  private def workingCol(c: String): Boolean =
+    c == RowId || c == Url || c == Domain || c == Lang ||
+      c == Doit || c == Prio || c == Dqc || c.startsWith("f_")
+
+  /** Payload split on/off (default on); SPARK_GRAFT_PAYLOAD_SPLIT=off
+    * restores the carry-everything behavior for A/Bs.
+    */
+  private val payloadSplit: Boolean =
+    !sys.env.get("SPARK_GRAFT_PAYLOAD_SPLIT").contains("off")
+
   /** Normalize + stamp lists + fold the enabled checks + final decision.
     * The input of every self-join-shaped stage is materialized first
     * (see StageDef) — the narrow row-local prefix between two such stages
     * stays fused in one codegen span, and each stage's statistics pass
     * reads the materialized blocks instead of recomputing the cascade
     * prefix.
+    *
+    * Payload split: the self-join stages form a chain of full-corpus
+    * materializations, but they only ever read the light working set
+    * ([[workingCol]] — ~100 bytes/row). The heavy payload columns (text,
+    * scrubbed_text, any caller passthrough) are pure cargo there, and
+    * row-based checkpoint blocks have no column pruning — every stats scan
+    * and every re-checkpoint would move the text bytes through memory
+    * again. Core-count-invariant memory traffic is exactly the term that
+    * caps single-box scaling (BENCH/BASELINE.md §1), so after the row-local
+    * prefix (the last text consumer) the corpus is materialized ONCE and
+    * split: the checks fold over the light projection, and the payload is
+    * reattached 1:1 by [[RowId]] at the end. Consumers that never read the
+    * payload (e.g. a keep-count) pay only a pruned id-join; the cluster
+    * analog is writing stage snapshots without the payload columns and
+    * re-joining the immutable ingest table at the end (ResumableCascade
+    * gets the same effect from columnar snapshot pruning).
     */
   def run(pages: DataFrame, cfg: CascadeConfig,
           models: Option[Models] = None,
           pseudoTexts: Seq[String] = Nil): DataFrame = {
-    val normalized = Ingest.normalize(pages, cfg)
-    // ingest-time duplicate drop BEFORE any check (read_data_to_check.r:
-    // 122-143): duplicates must never inflate neighborhood statistics.
-    // Self-join-shaped, so the input is materialized like selfRef stages.
-    val deduped =
-      if (cfg.dedupIngest) Ingest.dropDuplicatePages(materialize(normalized))
-      else normalized
-    val prepared = Ingest.stampLists(deduped, cfg)
     // Each selfRef stage's input is eagerly checkpointed (so its two scans
     // share one computation), and the PREVIOUS stage's blocks — now
     // superseded by the new leaf — are unpersisted immediately. Without
@@ -172,18 +204,74 @@ object Cascade {
     // cascade over millions of rows turns into an eviction storm. Only
     // RDDs this run created are touched (callers' caches are left alone).
     val sc = pages.sparkSession.sparkContext
-    var prevCkptIds: Set[Int] = Set.empty
-    def ckpt(d: DataFrame): DataFrame = {
+    def matTracked(d: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet.toSet
       val c = materialize(d, eager = true)
-      val added = sc.getPersistentRDDs.keySet.toSet.diff(before)
-      prevCkptIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      (c, sc.getPersistentRDDs.keySet.toSet.diff(before))
+    }
+    def unpersistIds(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    var prevCkptIds: Set[Int] = Set.empty
+    def ckpt(d: DataFrame): DataFrame = {
+      val (c, added) = matTracked(d)
+      unpersistIds(prevCkptIds)
       prevCkptIds = added
       c
     }
-    val checked = stages(cfg, models, pseudoTexts)
-      .foldLeft(prepared) { case (d, s) => s.f(if (s.selfRef) ckpt(d) else d) }
+    val normalized = Ingest.normalize(pages, cfg)
+    // ingest-time duplicate drop BEFORE any check (read_data_to_check.r:
+    // 122-143): duplicates must never inflate neighborhood statistics.
+    // Self-join-shaped, so the input is materialized like selfRef stages —
+    // and seeded into the reap chain: its blocks (still carrying html) are
+    // dead the moment the next checkpoint materializes, so they must not
+    // stay pinned for the rest of the cascade.
+    val deduped = if (cfg.dedupIngest) {
+      val (m, ids) = matTracked(normalized)
+      prevCkptIds = ids
+      Ingest.dropDuplicatePages(m)
+    } else normalized
+    val prepared = Ingest.stampLists(deduped, cfg)
+    val stageList = stages(cfg, models, pseudoTexts)
+    val firstSelf = stageList.indexWhere(_.selfRef)
+    // Catalyst's input-size estimate (exact file bytes for a parquet scan)
+    // gates the split: the savings scale with corpus size, the cost is fixed
+    val bigEnough =
+      pages.queryExecution.optimizedPlan.stats.sizeInBytes >= cfg.payloadSplitMinBytes
+    val checked =
+      if (firstSelf < 0 || !payloadSplit || !bigEnough)
+        stageList.foldLeft(prepared) { case (d, s) => s.f(if (s.selfRef) ckpt(d) else d) }
+      else {
+        val prefixed = stageList.take(firstSelf).foldLeft(prepared) { case (d, s) => s.f(d) }
+        val (full, fullIds) = matTracked(prefixed.withColumn(RowId, monotonically_increasing_id()))
+        unpersistIds(prevCkptIds) // the ingest-dedup blocks are superseded here
+        val outCols = full.columns.filterNot(_ == RowId)
+        val payloadCols = outCols.filterNot(workingCol)
+        // fold the remaining stages; index 0 (the first selfRef stage) is
+        // already materialized, so only LATER selfRef inputs re-checkpoint
+        def foldRest(start: DataFrame): DataFrame =
+          stageList.drop(firstSelf).zipWithIndex.foldLeft(start) {
+            case (d, (s, i)) => s.f(if (s.selfRef && i > 0) ckpt(d) else d)
+          }
+        if (payloadCols.isEmpty) {
+          prevCkptIds = fullIds
+          foldRest(full).drop(RowId)
+        } else {
+          // payload stays a LAZY projection of the pinned `full` blocks —
+          // materializing it as its own checkpoint would put a second copy
+          // of the text bytes in the storage pool next to `full` (measured:
+          // eviction/spill churn that nearly doubled the 2M-doc cascade).
+          // UnsafeRow field access is offset-based, so the end-join's
+          // pruned read of (RowId, payloadCols) never copies bytes the
+          // consumer didn't ask for.
+          val payload = full.select((RowId +: payloadCols).map(col): _*)
+          val (light, lightIds) =
+            matTracked(full.select(full.columns.filter(workingCol).map(col): _*))
+          prevCkptIds = lightIds // `full` stays pinned: it backs `payload`
+          foldRest(light)
+            .join(payload, Seq(RowId)) // 1:1 by construction
+            .select(outCols.map(col): _*)
+        }
+      }
     finalDecision(checked)
   }
 

@@ -211,6 +211,12 @@ final case class CascadeConfig(
     maxRefsPerGroup: Option[Int] = None,
     // skew handling: #salt buckets for two-level aggregation of group stats
     saltBuckets: Int = 8,
+    // payload split (Cascade.run): below this estimated input size the
+    // fixed cost of the extra light/full materializations cannot repay the
+    // checkpoint-traffic savings (measured at sf0.1: +4 s on a 5k-doc
+    // corpus vs a wash at 2M docs), so small inputs keep the single-frame
+    // path. 0 forces the split (specs); Long.MaxValue disables it.
+    payloadSplitMinBytes: Long = 256L * 1024 * 1024,
     // which checks run (TITAN: each check behind a CLI switch, titan.r:140-256)
     enabled: Set[Int] = CascadeConfig.allChecks) {
 

@@ -216,6 +216,11 @@ object ModelChecks {
         concat(lit("pseudo://"), col(Domain), lit("/"), col("_pidx")).as(Url),
         col(Domain),
         col("_ptext").as(Text)))
+      // text was only the feature-pass input; dropping it here keeps the
+      // union schema equal to the (payload-split) light schema — otherwise
+      // unionByName would re-introduce a null text column into the cascade
+      // working set and collide with the payload reattach (Cascade.run)
+      .drop(Text)
       .withColumn(Lang, lit(null).cast("string"))
       .withColumn(Doit, lit(2))
       .withColumn(Prio, lit(0))

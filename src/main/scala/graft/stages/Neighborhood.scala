@@ -44,10 +44,18 @@ object Neighborhood {
                  refFilter: Column = Stage.referenceEligible,
                  keys: Seq[String] = Seq(Domain)): DataFrame = {
     val keyCols = keys.map(col)
-    // capped mode: one cheap count pass sets the per-group sampling rate
+    // capped mode: one cheap count pass sets the per-group sampling rate.
+    // sizeDiscovered is load-bearing here exactly as on the merged stats:
+    // a localCheckpoint's size is opaque to AQE, so the left join of the
+    // CORPUS against this per-group table would stay a SortMergeJoin that
+    // shuffles the full corpus by the zipf-skewed group key — measured
+    // (4M docs, local[8] event log) as 8-task checkpoint stages stuck at
+    // ~49% slot occupancy, the skewed partitioning inherited by every
+    // downstream checkpoint of the cascade.
     val capCounts = cfg.maxRefsPerGroup.map { _ =>
-      df.filter(refFilter).groupBy(keyCols: _*).agg(count(lit(1)).as("_gn"))
-        .localCheckpoint(false)
+      sizeDiscovered(
+        df.filter(refFilter).groupBy(keyCols: _*).agg(count(lit(1)).as("_gn"))
+          .localCheckpoint(false))
     }
     val sampled = cfg.maxRefsPerGroup match {
       case None => df

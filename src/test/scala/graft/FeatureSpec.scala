@@ -429,6 +429,32 @@ class FeatureSpec extends SparkSpec {
     assert(active.exists(_.code == FlagCodes.Repetition))
   }
 
+  test("payload split: identical output to the single-frame path") {
+    // heterogeneous corpus (two domains, an outlier, a passthrough column)
+    // through a config with several self-join stages + ingest dedup + caps;
+    // payloadSplitMinBytes = 0 forces the split, MaxValue forbids it — the
+    // labeled output (rows, values, schema, column order) must be identical
+    val rows = corpusOf("h.example", (0 until 10).map(98 + _) ++ Seq(300, 300))
+      .unionByName(corpusOf("k.example", (0 until 8).map(60 + _)))
+      .withColumn("extra_payload", concat(col(Cols.Url), lit("#x")))
+    val cfg = buddyOnlyCfg.copy(
+      enabled = Set(FlagCodes.Buddy, FlagCodes.SctDual, FlagCodes.Isolation,
+        FlagCodes.Plausibility),
+      dedupIngest = true, maxRefsPerGroup = Some(9))
+    val split = Cascade.run(rows, cfg.copy(payloadSplitMinBytes = 0L))
+    val plain = Cascade.run(rows, cfg.copy(payloadSplitMinBytes = Long.MaxValue))
+    // column ORDER is not part of the contract (the single-frame path's
+    // using-joins move join keys to the front); the column SET and every
+    // value are
+    assert(split.columns.toSet === plain.columns.toSet, "schema parity")
+    val cols = split.columns.sorted.map(col).toSeq
+    val a = split.select(cols: _*).orderBy(Cols.Url).collect().toSeq
+    val b = plain.select(cols: _*).orderBy(Cols.Url).collect().toSeq
+    assert(a === b, "row-for-row parity between split and single-frame paths")
+    assert(split.columns.contains("extra_payload"),
+      "caller passthrough columns survive the payload reattach")
+  }
+
   test("scrub report: exact least-squares on a synthetic linear relation") {
     // raw = k chars + " 555-123-4567" (13) → scrubbed = k + " <PHONE>" (8):
     // y = x − 5 exactly, so slope must be exactly 1.0 and intercept −5.0
