@@ -24,7 +24,20 @@ object ScalingBench {
     val b = GraftSession.tune(SparkSession.builder())
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      // 4 partitions per core, not 1: (a) skew headroom — with exactly
+      // `cores` post-shuffle partitions one zipf-hot domain partition leaves
+      // the other slots idle (measured: four 8-task stages at ~50% occupancy
+      // in the 4M-doc local[8] event log, ~90 s of wall per rep); (b) a 4x
+      // smaller aggregate in-flight working set (cores x partition size),
+      // which is what inflates per-task CPU on one box as the corpus grows
+      // (measured: task-time sum x1.42 going 2M->4M docs at local[8] while
+      // local[2] stayed x1.07). AQE's parallelismFirst coalescing keeps
+      // these partitions (>= 1 MB each at these corpus sizes). On a real
+      // cluster the same 2-4x-cores rule is the standard setting.
+      .config("spark.sql.shuffle.partitions", (4 * cores).toString)
+      // smaller scan splits for the same in-flight-bytes reason; the corpus
+      // parquet is ~25 MB/file so this also splits multi-file packing
+      .config("spark.sql.files.maxPartitionBytes", "32m")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
