@@ -61,6 +61,31 @@ object OracleSql {
   def qLangBounds(c: CascadeConfig): String   = singleCheck(langBoundsFail(c), 502)
   def qLangMismatch(c: CascadeConfig): String = singleCheck(langMismatchFail(c), 902)
 
+  /** Toxicity lexicon regex — same literal pattern string as the engine
+    * (graft.functions.ScrubPatterns.ToxReStr; Java regex ∩ RE2 subset).
+    */
+  val toxRe: String = graft.functions.ScrubPatterns.ToxReStr
+
+  /** 504 failure predicate (mirrors RowChecks.toxicity: strict >, hits and
+    * words both cast to DOUBLE before the compare).
+    */
+  def toxFail(c: CascadeConfig): String =
+    s"($nw > 0 AND CAST(len(regexp_extract_all(text, '$toxRe')) AS DOUBLE) > " +
+      s"${c.maxToxicFrac} * CAST($nw AS DOUBLE))"
+
+  /** q_check_toxicity twin: the driver testdata contains no lexicon terms
+    * (verified: 0 hits over sf0.1), so — like q_scrub's synthetic PII
+    * suffix — the query plants a deterministic per-doc dose of one lexicon
+    * word before checking the density ceiling. doc_id % 13 gives doses 0–12
+    * against word counts 10–99, so both outcomes occur at any SF.
+    */
+  def qToxicityCheck(c: CascadeConfig): String =
+    s"""WITH t AS (SELECT doc_id,
+       |  text || repeat(' drokk', CAST(doc_id % 13 AS INT)) AS text
+       |  FROM documents)
+       |SELECT doc_id, CASE WHEN ${toxFail(c)} THEN 504 END AS dqc
+       |FROM t ORDER BY doc_id""".stripMargin
+
   /** Buddy-check z-score machinery over an alive-filtered population.
     * `alive` is a boolean SQL expression in scope of the joined row;
     * `x` names the statistic column.
@@ -423,11 +448,12 @@ object OracleSql {
     */
   def qScrubReport: String = {
     val raw = "text || ' user' || doc_id || '@mail.example 555-123-4567 123-45-6789'"
-    val scr = s"""regexp_replace(regexp_replace(regexp_replace(
+    val scr = s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |    $raw,
       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       |    '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
-      |    '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g')""".stripMargin
+      |    '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g'),
+      |    '$toxRe', '<TOX>', 'g')""".stripMargin
     s"""WITH l AS (SELECT source AS domain,
        |  CAST(length($raw) AS BIGINT) AS x,
        |  CAST(length($scr) AS BIGINT) AS y
@@ -663,14 +689,18 @@ object OracleSql {
        |ORDER BY vec_id""".stripMargin
   }
 
-  /** PII scrub parity (mirrors Scrubber.scrub + the synthetic PII suffix). */
+  /** PII/toxicity scrub parity (mirrors Scrubber.scrub + the synthetic PII
+    * suffix; the outermost layer is the toxicity-lexicon mask, same order
+    * as ScrubPatterns.scrub).
+    */
   def qScrub: String =
-    """SELECT doc_id,
-      |  regexp_replace(regexp_replace(regexp_replace(
+    s"""SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |    text || ' user' || doc_id || '@mail.example 555-123-4567 123-45-6789',
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |    '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
-      |    '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS scrubbed
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'),
+      |    '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b', '<PHONE>', 'g'),
+      |    '$toxRe', '<TOX>', 'g') AS scrubbed
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Full cascade (SQL-expressible subset) in reference order with sticky

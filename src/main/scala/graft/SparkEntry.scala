@@ -54,12 +54,17 @@ object SparkEntry {
     maxTop2GramFrac = 0.12,
     maxDup2GramFrac = 0.20,
     maxTop3GramFrac = 0.10,
+    // toxicity (504) density ceiling — like CrossField below, enabled but
+    // structurally quiet on the driver tables (their text contains no
+    // lexicon terms, verified over sf0.1), so the qCascade oracle doesn't
+    // model the layer; q_check_toxicity exercises it on planted doses
+    maxToxicFrac = 0.10,
     // CrossField is enabled but can never fire on Docs.pages (html is the
     // UTF-8 encoding of text, so chars(text) ≤ bytes(html) always) — the
     // qCascade oracle therefore doesn't model it; q_check_crossfield
     // exercises the predicate on a frame with genuinely divergent html
     enabled = Set(Metadata, CrossField, LangMismatch, Plausibility, LangBounds,
-      FlagCodes.Repetition, SctDual, Buddy, Sct, Isolation))
+      FlagCodes.Repetition, FlagCodes.Toxicity, SctDual, Buddy, Sct, Isolation))
 
   /** Stratified-sampling query parameters (Spark + oracle share them). */
   val SampleRates: Map[String, Double] =
@@ -141,6 +146,17 @@ object SparkEntry {
     "q_check_plausibility" -> checkQ(RowChecks.plausibility.transform(_, docCfg)),
     "q_check_langbounds"   -> checkQ(RowChecks.langBounds.transform(_, docCfg)),
     "q_check_repetition"   -> checkQ(RowChecks.repetition.transform(_, docCfg)),
+    // toxicity (504) over text planted with a deterministic per-doc dose of
+    // one lexicon word — the driver tables contain no lexicon terms (like
+    // q_scrub's synthetic PII suffix; doses 0–12 vs word counts 10–99, so
+    // both outcomes occur at any SF)
+    "q_check_toxicity" -> ((s, dir) => {
+      val pages = Docs.pages(s, dir).withColumn(Cols.Text,
+        concat(col(Cols.Text), expr("repeat(' drokk', CAST(doc_id % 13 AS INT))")))
+      RowChecks.toxicity.transform(Ingest.normalize(pages, docCfg), docCfg)
+        .select(col("doc_id"), col(Cols.Dqc).cast("int").as("dqc"))
+        .orderBy("doc_id")
+    }),
     "q_check_langmismatch" -> checkQ(RowChecks.langMismatchHeuristic.transform(_, docCfg)),
     "q_check_buddy"        -> checkQ(Neighborhood.buddyOnce(_, docCfg)),
     "q_check_buddy_multi"  -> checkQCfg(buddyMultiCfg)(Neighborhood.buddyOnce(_, buddyMultiCfg)),
@@ -430,6 +446,7 @@ object SparkEntry {
     "q_check_plausibility" -> OracleSql.qPlausibility(docCfg),
     "q_check_langbounds"   -> OracleSql.qLangBounds(docCfg),
     "q_check_repetition"   -> OracleSql.qRepetitionCheck(docCfg),
+    "q_check_toxicity"     -> OracleSql.qToxicityCheck(docCfg),
     "q_check_langmismatch" -> OracleSql.qLangMismatch(docCfg),
     "q_check_buddy"        -> OracleSql.qBuddy(docCfg),
     "q_check_buddy_multi"  -> OracleSql.qBuddyMulti(buddyMultiCfg),

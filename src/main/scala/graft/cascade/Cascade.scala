@@ -124,6 +124,8 @@ object Cascade {
     // defaults (a fraction never exceeds 1.0)
     if (cfg.enabled.contains(Repetition) && cfg.repetitionActive)
       b += StageDef(Repetition, selfRef = false, d => RowChecks.repetition.transform(d, cfg))
+    if (cfg.enabled.contains(Toxicity) && cfg.toxicityActive)
+      b += StageDef(Toxicity, selfRef = false, d => RowChecks.toxicity.transform(d, cfg))
     if (cfg.enabled.contains(SctFgDual) && pseudoTexts.nonEmpty)
       b += StageDef(SctFgDual, selfRef = true, d => ModelChecks.sctFgDual(d, cfg, pseudoTexts))
     if (cfg.enabled.contains(SctDual))

@@ -34,6 +34,22 @@ object ScrubPatterns {
   val Ssn: Pattern   = Pattern.compile("\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b")
   val Phone: Pattern = Pattern.compile("\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b")
 
+  /** Toxicity lexicon (north_rule: "PII/toxicity scrub"). A deterministic
+    * placeholder word list — the corpus is synthetic, so the lexicon is a
+    * stand-in of the same shape as a production bad-word list: a compiled
+    * single-alternation word-boundary regex, matched case-sensitively. The
+    * terms are chosen to collide with nothing in the langid seed vocab or
+    * the driver testdata (verified: 0 hits over sf0.1 documents.text).
+    * Sorted so the pattern string is deterministic.
+    */
+  val ToxWords: Seq[String] =
+    Seq("drokk", "fraggit", "frellox", "gorram", "smeghead", "zarkful")
+  /** Inside the Java-regex ∩ RE2 common subset (`\b` is the ASCII word
+    * boundary in both engines; plain alternation of literal words).
+    */
+  val ToxReStr: String = ToxWords.mkString("\\b(", "|", ")\\b")
+  val Tox: Pattern = Pattern.compile(ToxReStr)
+
   val Script: Pattern = Pattern.compile("(?s)<(script|style)[^>]*>.*?</(script|style)>")
   val Tag: Pattern    = Pattern.compile("<[^>]*>")
   val Amp: Pattern    = Pattern.compile("&amp;")
@@ -46,7 +62,8 @@ object ScrubPatterns {
   def scrub(s: String): String = {
     val a = Email.matcher(s).replaceAll("<EMAIL>")
     val b = Ssn.matcher(a).replaceAll("<SSN>")
-    Phone.matcher(b).replaceAll("<PHONE>")
+    val c = Phone.matcher(b).replaceAll("<PHONE>")
+    Tox.matcher(c).replaceAll("<TOX>")
   }
 
   def scrubUtf8(s: UTF8String): UTF8String = UTF8String.fromString(scrub(s.toString))
@@ -66,7 +83,9 @@ object ScrubPatterns {
   }
 }
 
-/** PII scrub (email → ssn → phone) as one native call — string → string. */
+/** PII/toxicity scrub (email → ssn → phone → tox-lexicon mask) as one
+  * native call — string → string.
+  */
 case class ScrubExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess

@@ -37,6 +37,8 @@ import graft.ml.{LangId, Scrubber}
   *   keepclean     geCheck 990  keep-listed domain
   *   pii           geCheck 0    ge 0 — kept, but expected_text is scrubbed
   *   crossfield    geCheck 301  html present but shorter than text
+  *   ngramspam     geCheck 503  repeated in-vocab phrase (SEO stuffing)
+  *   toxic         geCheck 504  lexicon words interspersed above the density ceiling
   */
 object PagesGen {
 
@@ -90,12 +92,17 @@ object PagesGen {
     // fractions stay off because windowed clean text legitimately repeats
     // n-grams (d2 up to ~0.9)
     maxTop2GramFrac = 0.18,
-    maxTop3GramFrac = 0.17)
+    maxTop3GramFrac = 0.17,
+    // toxicity (504): planted docs carry one lexicon word per ~5 base words
+    // (density ≈ 0.17); clean text has zero hits (the lexicon collides with
+    // nothing in the seed vocab), so 0.10 separates them with full margin
+    maxToxicFrac = 0.10)
 
   val AllClasses: Seq[String] = Seq(
     "clean", "backfill", "meta", "short", "wronglang", "lowstop", "symbol",
     "repeat", "longword", "digit", "longdoc", "gibberish", "buddy", "sctout",
-    "lonely", "blacklisted", "keepclean", "pii", "crossfield", "ngramspam")
+    "lonely", "blacklisted", "keepclean", "pii", "crossfield", "ngramspam",
+    "toxic")
 
   private val vocab: Map[String, Array[String]] =
     LangId.seeds.map { case (l, s) => l -> s.split(" ").filter(_.nonEmpty) }
@@ -179,7 +186,11 @@ object PagesGen {
         val t = Array.fill(30)(phrase).mkString(" ")
         page(host, t, lang, htmlOf(t), 1, 501, t)
       case "longword" =>
-        val v = vocab(lang)
+        // components ≥ 4 chars ⇒ every junk word ≥ 12 chars ⇒ mean word
+        // length ≥ 12, strictly above any sane ceiling BY CONSTRUCTION
+        // (with the unfiltered vocab, a tail of short components measured
+        // mwl 9.93–10.0 — exactly at the 10.0 bound, escaping 501)
+        val v = vocab(lang).filter(_.length >= 4)
         val t = Array.fill(30)(
           v(rng.nextInt(v.length)) + v(rng.nextInt(v.length)) + v(rng.nextInt(v.length))
         ).mkString(" ")
@@ -233,6 +244,18 @@ object PagesGen {
         val t = (Seq(cleanText(lang, 20 + rng.nextInt(9), rng)) ++
           Seq.fill(12 + rng.nextInt(4))(phrase)).mkString(" ")
         page(host, t, lang, htmlOf(t), 1, 503, t)
+      case "toxic" =>
+        // lexicon words interspersed 1-per-5 through otherwise-clean text:
+        // density ≈ 1/6 > the 0.10 ceiling, while word count, stopwords,
+        // n-gram fractions, and langid stay in the clean band (the inserted
+        // words are scattered singletons, not runs). The scrub masks them,
+        // so expected_text goes through scrubString like the pii class.
+        val lex = graft.functions.ScrubPatterns.ToxWords
+        val words = cleanText(lang, 40 + rng.nextInt(11), rng).split(" ")
+        val t = words.zipWithIndex.flatMap { case (w, i) =>
+          if (i % 5 == 4) Seq(w, lex((i / 5) % lex.length)) else Seq(w)
+        }.mkString(" ")
+        page(host, t, lang, htmlOf(t), 1, 504, Scrubber.scrubString(t))
       case other => throw new IllegalArgumentException(other)
     }
   }

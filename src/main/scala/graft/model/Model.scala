@@ -24,6 +24,7 @@ object FlagCodes {
   val Plausibility= 501 // hard value bounds (checks/plausibility_test.r)
   val LangBounds  = 502 // lang-conditioned bounds (checks/climatological_check.r: month ↔ lang)
   val Repetition  = 503 // n-gram repetition bounds (plausibility-family slot; Gopher-style)
+  val Toxicity    = 504 // toxic-term density ceiling (plausibility-family slot; lexicon regex)
   val Isolation   = 800 // too few neighbors to judge (checks/isolation.r)
   val Metadata    = 901 // missing/malformed required fields (checks/metadata_check.r)
   val LangMismatch= 902 // declared vs detected language disagree (checks/check_z_against_dem.r analog)
@@ -134,6 +135,11 @@ final case class CascadeConfig(
     maxTop2GramFrac: Double = 1.0,
     maxDup2GramFrac: Double = 1.0,
     maxTop3GramFrac: Double = 1.0,
+    // toxicity (504) — ceiling on lexicon-hit density (hits / words) over
+    // the ORIGINAL text (the scrub's <TOX> masking runs on the copy). 1.0 =
+    // off (density cannot exceed 1 and the comparison is strict); the stage
+    // is built only when active, like the 503 gate above
+    maxToxicFrac: Double = 1.0,
     // lang mismatch (902)
     langMismatchMinConf: Double = 0.10,
     // buddy (10) — neighborhood key defaults to the provider (domain); a
@@ -223,13 +229,16 @@ final case class CascadeConfig(
   /** Is any repetition ceiling configured? (503 runs only when so.) */
   def repetitionActive: Boolean =
     maxTop2GramFrac < 1.0 || maxDup2GramFrac < 1.0 || maxTop3GramFrac < 1.0
+
+  /** Is the toxic-density ceiling configured? (504 runs only when so.) */
+  def toxicityActive: Boolean = maxToxicFrac < 1.0
 }
 
 object CascadeConfig {
   import FlagCodes._
   val allChecks: Set[Int] = Set(
-    Metadata, Plausibility, LangBounds, Repetition, LangMismatch, CrossField,
-    SctFgDual, SctDual, Fgt, Buddy, SctFg, Sct, Isolation)
+    Metadata, Plausibility, LangBounds, Repetition, Toxicity, LangMismatch,
+    CrossField, SctFgDual, SctDual, Fgt, Buddy, SctFg, Sct, Isolation)
 
   /** Checks expressible 1:1 in portable SQL (used by the DuckDB oracle
     * queries); model-based checks (902-by-model, 2, 11) are verified by

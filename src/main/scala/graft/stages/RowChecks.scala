@@ -76,6 +76,19 @@ object RowChecks {
     }
   }
 
+  /** 504 — toxic-term density ceiling (the flag side of the north_rule's
+    * "PII/toxicity scrub"; the value-rewriting side masks the same lexicon
+    * in `scrubbed_text`, ml/Scrubber). Density is lexicon hits per word
+    * over the ORIGINAL text — the check must see what the scrub removes.
+    * One compiled-alternation regexp_count per row (codegen'd builtin);
+    * like 502/503, the ceiling is config-driven and cannot flag keep rows.
+    */
+  val toxicity: CheckStage = PredicateStage("toxicity", Toxicity, flagsKeep = false,
+    cfg =>
+      col(NWords) > 0 &&
+      regexp_count(col(Text), lit(graft.functions.ScrubPatterns.ToxReStr))
+        .cast("double") > lit(cfg.maxToxicFrac) * col(NWords).cast("double"))
+
   /** 902 (heuristic form) — declared vs detected language disagreement,
     * the analog of the reference's station-elevation vs DEM cross-check
     * (functions/checks/check_z_against_dem.r:18-27, |z−zdem| > dz.dem).

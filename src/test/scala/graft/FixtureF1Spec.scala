@@ -64,6 +64,7 @@ class FixtureF1Spec extends SparkSpec {
   test("plausibility (501) F1")(perCheckF1(501))
   test("lang bounds (502) F1")(perCheckF1(502))
   test("repetition (503) F1")(perCheckF1(503))
+  test("toxicity (504) F1")(perCheckF1(504))
   test("sct_fg_dual (4) F1")(perCheckF1(4))
   test("sct_dual (3) F1")(perCheckF1(3))
   test("fgt (11) F1")(perCheckF1(11))
