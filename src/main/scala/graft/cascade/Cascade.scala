@@ -9,8 +9,9 @@ import graft.stages._
   *
   * Order is part of the spec (SURVEY.md §2.6.1; /root/reference/titan.r:115-257):
   * metadata(901) → crossField(301) → langMismatch(902) → plausibility(501) →
-  * langBounds(502) → sctFgDual(4) → sctDual(3) → fgt(11) → buddy(10) →
-  * sctFg(2) → sct(1) → isolation(800) → good(0). Each stage is a
+  * langBounds(502) → repetition(503) → toxicity(504) → sctFgDual(4) →
+  * sctDual(3) → fgt(11) → buddy(10) → sctFg(2) → sct(1) → isolation(800) →
+  * good(0). Each stage is a
   * null-guarded projection or a group-stats join; the row-local prefix fuses
   * into one codegen span, and Catalyst pushes the feature projection into
   * the scan.
