@@ -1,6 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Documented steady-state for the control query (q_agg_lineitem, sf0.1,
+    * local[32], warm JVM): ~0.35 s across rounds 2–3 (BENCH_r02/r03 driver
+    * artifacts and isolated Probe runs all land 0.33–0.39 s). The query has
+    * zero engine code — pure TPC-H groupBy — so any drift is the HOST, not
+    * the engine: `control_ratio` > ~1.5 marks a noisy measurement window
+    * machine-detectably (round 3's apparent regressions were exactly such a
+    * window, adjudicated by hand; this field automates that).
+    */
+  val ControlQuery = "q_agg_lineitem"
+  val ControlSteadyStateSec = 0.35
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -42,7 +53,24 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val controlSec = results.toMap.getOrElse(ControlQuery, -1.0)
+    val controlRatio = if (controlSec > 0) controlSec / ControlSteadyStateSec else -1.0
+    val json =
+      f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+        f""""control_query":"$ControlQuery","control_sec":$controlSec%.3f,""" +
+        f""""control_steady_sec":$ControlSteadyStateSec,"control_ratio":$controlRatio%.2f,""" +
+        f""""noisy_window":${controlRatio > 1.5}}"""
+    println(json)
+    // machine-readable sidecar: the driver's BENCH_rN.json keeps only a raw
+    // log tail ("parsed": null in r3) — the sidecar carries the same JSON
+    // without sbt log prefixes so round-over-round deltas never need log
+    // scraping. Path override: SPARK_GRAFT_BENCH_SIDECAR.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "BENCH/bench_last.json")
+    try {
+      val p = java.nio.file.Paths.get(sidecar)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"))
+    } catch { case _: Throwable => } // bench output on stdout is authoritative
     spark.stop()
   }
 }

@@ -81,7 +81,7 @@ object OracleSql {
     */
   def qToxicityCheck(c: CascadeConfig): String =
     s"""WITH t AS (SELECT doc_id,
-       |  text || repeat(' drokk', CAST(doc_id % 13 AS INT)) AS text
+       |  text || repeat(' ${graft.functions.ScrubPatterns.ToxWords.head}', CAST(doc_id % 13 AS INT)) AS text
        |  FROM documents)
        |SELECT doc_id, CASE WHEN ${toxFail(c)} THEN 504 END AS dqc
        |FROM t ORDER BY doc_id""".stripMargin
@@ -326,15 +326,27 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  def qDedupMinhash(n: Int, bands: Int): String = {
-    val sigCols = (0 until bands)
+  /** Mirrors Dedup.minhashLsh: bands·rowsPerBand min-hashes, band key =
+    * '#'-joined hashes of the band, hot buckets above `maxBucketSize`
+    * dropped before the self-join, DISTINCT candidate pairs.
+    */
+  def qDedupMinhash(n: Int, bands: Int, rowsPerBand: Int, maxBucketSize: Int): String = {
+    val sigCols = (0 until bands * rowsPerBand)
       .map(i => s"min(md5('$i#' || shingle)) AS mh$i").mkString(", ")
-    val bandSelects = (0 until bands).map(i =>
-      s"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON a.mh$i = b.mh$i WHERE a.doc_id < b.doc_id"
-    ).mkString(" UNION ALL ")
+    val bandSelects = (0 until bands).map { b =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"mh${b * rowsPerBand + r}").mkString(" || '#' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString(" UNION ALL ")
     s"""WITH ${shinglesCte(n)},
-       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id)
-       |SELECT DISTINCT id_a, id_b FROM ($bandSelects) ORDER BY id_a, id_b""".stripMargin
+       |sig AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |keyed AS ($bandSelects),
+       |ok AS (SELECT band, bkey FROM keyed GROUP BY band, bkey
+       |       HAVING count(*) <= $maxBucketSize),
+       |pruned AS (SELECT k.* FROM keyed k JOIN ok USING (band, bkey))
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM pruned a JOIN pruned b USING (band, bkey)
+       |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin
   }
 
   def qSimhash16: String = {

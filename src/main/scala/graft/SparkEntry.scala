@@ -149,10 +149,13 @@ object SparkEntry {
     // toxicity (504) over text planted with a deterministic per-doc dose of
     // one lexicon word — the driver tables contain no lexicon terms (like
     // q_scrub's synthetic PII suffix; doses 0–12 vs word counts 10–99, so
-    // both outcomes occur at any SF)
+    // both outcomes occur at any SF). The plant word is DERIVED from the
+    // lexicon (head of ScrubPatterns.ToxWords, same derivation as the
+    // oracle's) so a lexicon swap can never silently make the test vacuous.
     "q_check_toxicity" -> ((s, dir) => {
+      val plant = graft.functions.ScrubPatterns.ToxWords.head
       val pages = Docs.pages(s, dir).withColumn(Cols.Text,
-        concat(col(Cols.Text), expr("repeat(' drokk', CAST(doc_id % 13 AS INT))")))
+        concat(col(Cols.Text), expr(s"repeat(' $plant', CAST(doc_id % 13 AS INT))")))
       RowChecks.toxicity.transform(Ingest.normalize(pages, docCfg), docCfg)
         .select(col("doc_id"), col(Cols.Dqc).cast("int").as("dqc"))
         .orderBy("doc_id")
@@ -191,6 +194,35 @@ object SparkEntry {
       Cascade.run(Docs.pages(s, dir), docCfg)
         .select(col("doc_id"), col(Cols.Dqc).cast("int").as("dqc"), col(Cols.KeepCol).as("keep"))
         .orderBy("doc_id")),
+
+    // Structured-Streaming twin of q_cascade — the continuous-ingest form
+    // (readStream file source → foreachBatch full cascade → TableIO
+    // snapshot commit per micro-batch). One available-now micro-batch spans
+    // the whole corpus here, so the batch boundary IS the statistics
+    // boundary (the documented per-snapshot semantics: one WARC segment =
+    // one neighborhood-statistics window) and the labels must match the
+    // batch twin byte-for-byte — same DuckDB oracle as q_cascade.
+    "q_stream_cascade" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("stream_cascade").toString
+      val schema = Docs.read(s, dir).schema
+      // the file source wants a directory; the sf dir holds one file per
+      // table, so glob-filter to the documents table
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = graft.streaming.StreamingFilter
+        .microBatchCascade(Docs.pagesFrom(src), docCfg) { (labeled, _) =>
+          graft.io.TableIO.write(
+            labeled.select(col("doc_id"), col(Cols.Dqc).cast("int").as("dqc"),
+              col(Cols.KeepCol).as("keep")),
+            out, "labeled")
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/ckpt")
+        .start()
+      q.awaitTermination()
+      graft.io.TableIO.read(s, out, "labeled").orderBy("doc_id")
+    }),
 
     // ---- text-analysis operators (feature pass; SURVEY.md §2.3 spatconv analog) ----
     // the feature pass through the native single-pass TextStatsExpr (the
@@ -266,9 +298,17 @@ object SparkEntry {
       Dedup.ngramJaccard(Docs.read(s, dir), "text", "doc_id",
           n = 3, threshold = 0.2, maxShingleDf = 100)
         .orderBy("id_a", "id_b")),
+    // CONTRACT NOTE: CANDIDATES-ONLY (no similarity confirm — the LSH
+    // guarantee is probabilistic recall at the (bands, rowsPerBand)
+    // S-curve; exact Jaccard confirmation is q_dedup_jaccard's job).
+    // rowsPerBand = 2 so a band key is a hash PAIR (r = 1 makes every doc
+    // sharing one popular min-shingle collide), and maxBucketSize caps the
+    // residual hot buckets before the self-join — the only shape whose
+    // candidate count stays near-linear at 100 TB. The oracle applies the
+    // identical banding + cap, so pairs stay exact.
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(Docs.read(s, dir), "text", "doc_id",
-          n = 3, bands = 2, rowsPerBand = 1)
+          n = 3, bands = 2, rowsPerBand = 2, maxBucketSize = 100)
         .orderBy("id_a", "id_b")),
     // 64-bit simhash (4×16-bit words) — the scale form; the banded pairs
     // query below is the bucket-join + exact-hamming-confirm path
@@ -457,6 +497,11 @@ object SparkEntry {
     "q_check_sct_iter"     -> OracleSql.qSctIter(docCfg.sctMinN, SctIterZ),
     "q_check_crossfield"   -> OracleSql.qCrossField,
     "q_cascade"            -> OracleSql.qCascade(docCfg),
+    // the streaming twin commits per-micro-batch snapshots of the SAME
+    // cascade — one available-now batch = the whole corpus, so the batch
+    // oracle applies verbatim (rows+schema+hash parity is the gate that the
+    // streaming path introduces no semantic drift)
+    "q_stream_cascade"     -> OracleSql.qCascade(docCfg),
     "q_text_stats" ->
       s"""SELECT doc_id, ${OracleSql.nc} AS f_nchars, ${OracleSql.nw} AS f_nwords,
          |${OracleSql.mwl} AS f_mwl, ${OracleSql.symr} AS f_symr,
@@ -480,7 +525,7 @@ object SparkEntry {
       OracleSql.qSampleStratified(SampleRates, SampleDefaultRate, SampleSalt),
     "q_quality_buckets" -> OracleSql.qQualityBuckets,
     "q_dedup_jaccard" -> OracleSql.qDedupJaccard(3, 0.2, 100),
-    "q_dedup_minhash" -> OracleSql.qDedupMinhash(3, 2),
+    "q_dedup_minhash" -> OracleSql.qDedupMinhash(3, 2, 2, 100),
     "q_dedup_simhash" -> OracleSql.qSimhash64,
     "q_simhash_pairs" -> OracleSql.qSimhashPairs64(3),
     "q_ann_topk"      -> OracleSql.qAnnTopK(Seq(0L, 1L, 2L, 3L, 4L), 5),

@@ -37,17 +37,20 @@ object ScrubPatterns {
   /** Toxicity lexicon (north_rule: "PII/toxicity scrub"). A deterministic
     * placeholder word list — the corpus is synthetic, so the lexicon is a
     * stand-in of the same shape as a production bad-word list: a compiled
-    * single-alternation word-boundary regex, matched case-sensitively. The
-    * terms are chosen to collide with nothing in the langid seed vocab or
-    * the driver testdata (verified: 0 hits over sf0.1 documents.text).
-    * Sorted so the pattern string is deterministic.
+    * single-alternation word-boundary regex, matched CASE-INSENSITIVELY
+    * (a real lexicon must catch 'Drokk'/'DROKK'; the inline `(?i)` flag is
+    * honored identically by java.util.regex and DuckDB's RE2, so the one
+    * pattern string serves both the engine and the oracle). The terms are
+    * chosen to collide with nothing in the langid seed vocab or the driver
+    * testdata (verified: 0 hits over sf0.1 documents.text). Sorted so the
+    * pattern string is deterministic.
     */
   val ToxWords: Seq[String] =
     Seq("drokk", "fraggit", "frellox", "gorram", "smeghead", "zarkful")
   /** Inside the Java-regex ∩ RE2 common subset (`\b` is the ASCII word
-    * boundary in both engines; plain alternation of literal words).
+    * boundary in both engines; `(?i)` + plain alternation of literal words).
     */
-  val ToxReStr: String = ToxWords.mkString("\\b(", "|", ")\\b")
+  val ToxReStr: String = ToxWords.mkString("(?i)\\b(", "|", ")\\b")
   val Tox: Pattern = Pattern.compile(ToxReStr)
 
   val Script: Pattern = Pattern.compile("(?s)<(script|style)[^>]*>.*?</(script|style)>")

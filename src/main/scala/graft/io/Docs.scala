@@ -13,8 +13,12 @@ object Docs {
   def read(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
-  def pages(spark: SparkSession, sfDir: String): DataFrame =
-    read(spark, sfDir).select(
+  /** documents shape → pages shape; pure projection, so it lifts onto a
+    * streaming frame unchanged (q_stream_cascade reads the same table via
+    * readStream and applies this same adapter).
+    */
+  def pagesFrom(docs: DataFrame): DataFrame =
+    docs.select(
       concat(lit("https://"), col("source"), lit(".example.com/d/"), col("doc_id")).as("url"),
       to_timestamp(lit("2024-11-08 00:00:00")).as("warc_ts"),
       encode(col("text"), "UTF-8").as("html"),
@@ -22,4 +26,7 @@ object Docs {
       col("lang"),
       col("source").as("domain"),
       col("doc_id"))
+
+  def pages(spark: SparkSession, sfDir: String): DataFrame =
+    pagesFrom(read(spark, sfDir))
 }

@@ -137,8 +137,10 @@ final case class CascadeConfig(
     maxTop3GramFrac: Double = 1.0,
     // toxicity (504) — ceiling on lexicon-hit density (hits / words) over
     // the ORIGINAL text (the scrub's <TOX> masking runs on the copy). 1.0 =
-    // off (density cannot exceed 1 and the comparison is strict); the stage
-    // is built only when active, like the 503 gate above
+    // off STRUCTURALLY: `toxicityActive` gates the stage out of the cascade
+    // at exactly 1.0 (like the 503 gate above). Note density itself is NOT
+    // bounded by 1 — a hyphenated token like 'drokk-gorram' is 1 word but 2
+    // regex hits — so the off-switch is the build gate, not the comparison
     maxToxicFrac: Double = 1.0,
     // lang mismatch (902)
     langMismatchMinConf: Double = 0.10,

@@ -176,16 +176,31 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash-LSH candidate pairs: band the signature, bucket-join within
-    * bands, dedup pairs. Docs agreeing on all rows of any band are
-    * candidates (id_a < id_b).
+  /** MinHash-LSH CANDIDATE pairs (no similarity confirm — callers wanting
+    * exact Jaccard feed the candidates into a confirm join or use
+    * `ngramJaccard`): band the signature, bucket-join within bands, dedup
+    * pairs. Docs agreeing on all rows of any band are candidates
+    * (id_a < id_b).
+    *
+    * `maxBucketSize` is the hot-bucket bound: a (band, key) bucket holding
+    * B docs contributes B·(B−1)/2 candidate pairs, so ONE popular bucket —
+    * template/boilerplate pages all sharing a minimum shingle-hash,
+    * especially at rowsPerBand = 1 where a band key is a single min-hash —
+    * goes quadratic at corpus scale. Buckets above the cap are dropped
+    * before the self-join (the same stop-key move as ngramJaccard's
+    * `maxShingleDf`): a bucket that big is boilerplate, not near-dup
+    * signal, and exact-confirm downstream would reject its pairs anyway.
+    * RECALL CONTRACT: pairs whose every agreeing band lands in a dropped
+    * bucket are missed; pass Int.MaxValue for the exact uncapped variant.
     */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
-                 n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+                 n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                 maxBucketSize: Int = 1000): DataFrame = {
     // Materialize the signature once (lazy local checkpoint: computed at the
-    // first action, reused by both join sides), then explode all band keys
-    // in ONE pass and bucket-join once on (band, key) — the per-band-join
-    // form recomputed the whole shingle aggregation 2×bands times.
+    // first action, reused by the cap aggregate and both join sides), then
+    // explode all band keys in ONE pass and bucket-join once on (band, key)
+    // — the per-band-join form recomputed the whole shingle aggregation
+    // 2×bands times.
     val sig = minhashSignature(df, textCol, idCol, n, bands * rowsPerBand)
       .localCheckpoint(false)
     val bandKeys = (0 until bands).map { b =>
@@ -193,8 +208,11 @@ object Dedup {
     }
     val keyed = sig.select(col(idCol),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
-    val l = keyed.select(col("band"), col("bkey"), col(idCol).as("id_a"))
-    val r = keyed.select(col("band"), col("bkey"), col(idCol).as("id_b"))
+    val small = keyed.groupBy("band", "bkey").agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") <= maxBucketSize).select("band", "bkey")
+    val pruned = keyed.join(small, Seq("band", "bkey"), "left_semi")
+    val l = pruned.select(col("band"), col("bkey"), col(idCol).as("id_a"))
+    val r = pruned.select(col("band"), col("bkey"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
