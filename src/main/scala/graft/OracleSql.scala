@@ -434,25 +434,28 @@ object OracleSql {
     * dyadic rational (k/2^16 summed then /4), so addition order is
     * irrelevant and the comparison is bit-exact.
     */
-  def qMmEmbed(n: Int = 4, frameBytes: Int = 32, dims: Int = 8): String = {
-    val nibVal = (0 until 4).map(p => s"${hexNibCase("dh", p + 1)} * ${1 << (4 * (3 - p))}")
-      .mkString("(", " + ", ")")
-    val pivots = (0 until dims)
-      .map(i => s"MAX(CASE WHEN i = $i THEN e END) AS emb_$i").mkString(", ")
-    s"""WITH m AS (SELECT doc_id, $mmHex AS h FROM documents),
-       |f AS (SELECT doc_id, h, unnest(range(0, $n)) AS frame_no FROM m),
-       |o AS (SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
-       |  CAST((frame_no * greatest(length(h) // 2 - $frameBytes, 0)) // ${n - 1} AS INT) AS "offset", h
-       |  FROM f),
-       |fr AS (SELECT doc_id, frame_no,
-       |  md5(substr(h, "offset" * 2 + 1, ${frameBytes * 2})) AS cfp FROM o),
-       |d AS (SELECT doc_id, frame_no, i,
-       |  md5(CAST(i AS VARCHAR) || '#' || cfp) AS dh
-       |  FROM fr CROSS JOIN (SELECT unnest(range(0, $dims)) AS i)),
-       |v AS (SELECT doc_id, i, CAST($nibVal AS DOUBLE) / 65536.0 AS x FROM d),
-       |e AS (SELECT doc_id, i, SUM(x) / $n.0 AS e FROM v GROUP BY doc_id, i)
-       |SELECT doc_id, CAST($n AS INT) AS n_frames, $pivots
-       |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  /** q_mm_embed twin: the engine really encodes a w×h PNG per doc (pixels =
+    * PngCodec.synthPixel) and really decodes it through javax.imageio; PNG
+    * is lossless, so this oracle recomputes the identical pixel function
+    * directly and pools the same integer band sums — decode(encode(p)) == p
+    * makes the two sides bit-comparable without DuckDB ever parsing PNG.
+    * The normalizer w·h·(768/nBands) is an exactly-representable integer,
+    * so the single IEEE division matches the engine bit-for-bit.
+    */
+  def qMmEmbed(w: Int = 16, h: Int = 16, nBands: Int = 8): String = {
+    val denom = w * h * (768 / nBands)
+    val pivots = (0 until nBands)
+      .map(i => s"MAX(CASE WHEN band = $i THEN CAST(bs AS DOUBLE) / $denom.0 END) AS emb_$i")
+      .mkString(", ")
+    s"""WITH px AS (SELECT doc_id, x, y,
+       |  (7*doc_id + 3*x + 5*y) % 256 AS r,
+       |  (11*doc_id + 13*x + 17*y) % 256 AS g,
+       |  (19*doc_id + 23*x + 29*y) % 256 AS b
+       |  FROM documents, range(0, $w) tx(x), range(0, $h) ty(y)),
+       |s AS (SELECT doc_id, CAST(y * $nBands // $h AS INT) AS band,
+       |  SUM(r + g + b) AS bs FROM px GROUP BY doc_id, band)
+       |SELECT doc_id, CAST($w AS INT) AS width, CAST($h AS INT) AS height, $pivots
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Windcorr-style adjusted~raw regression report (mirrors

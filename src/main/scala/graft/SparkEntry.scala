@@ -123,6 +123,12 @@ object SparkEntry {
     unhex(concat(magic, repeat(md5(col("text")), 4)))
   }
 
+  /** Real deterministic PNG payload for q_mm_embed (pixels =
+    * PngCodec.synthPixel(doc_id, x, y), encoded by javax.imageio).
+    */
+  private val synthPngUdf =
+    udf((d: Long) => graft.operators.PngCodec.synthPng(d, 16, 16))
+
   private def checkQ(stage: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => stage(norm(s, dir))
       .select(col("doc_id"), col(Cols.Dqc).cast("int").as("dqc"))
@@ -340,16 +346,18 @@ object SparkEntry {
         .select(col("doc_id"), col("f.frame_no").as("frame_no"),
           col("f.offset").as("offset"), hex(col("f.chunk")).as("chunk_hex"))
         .orderBy("doc_id", "frame_no")),
-    // stub decode + pooled embedding, projected to per-dim scalar columns so
-    // the oracle harness can hash/sort it (arrays aren't pandas-hashable);
-    // every value is a dyadic rational, so the SQL twin is bit-exact
-    "q_mm_embed" -> ((s, dir) => {
-      val m = Multimodal.mmFeatures(
-        Docs.read(s, dir).withColumn("_bin", mmBin), "_bin", "doc_id")
-      m.select(Seq(col("doc_id"), col("n_frames")) ++
-          (0 until 8).map(i => element_at(col("embedding"), i + 1).as(s"emb_$i")): _*)
-        .orderBy("doc_id")
-    }),
+    // REAL decode + pooled embedding: each doc gets an actual 16×16 PNG
+    // (pixels a pure integer function of doc_id, encoded by the JDK's own
+    // codec), and the features come from DECODED PIXELS — zlib inflate,
+    // filter reconstruction and CRCs all really run. PNG is lossless, so
+    // the oracle recomputes the same pixel math directly in SQL and the
+    // row is a hard rows+schema+hash gate on the real decode path.
+    "q_mm_embed" -> ((s, dir) =>
+      Multimodal.imageEmbedding(
+        Docs.read(s, dir).select(col("doc_id"))
+          .withColumn("_png", synthPngUdf(col("doc_id").cast("long"))),
+        "_png", "doc_id", nBands = 8)
+        .orderBy("doc_id")),
 
     // ---- similarity search over embeddings ----
     "q_ann_topk" -> ((s, dir) =>
@@ -536,7 +544,7 @@ object SparkEntry {
     "q_text_repetition" -> OracleSql.qRepetition,
     "q_mm_meta"       -> OracleSql.qMmMeta,
     "q_mm_frames"     -> OracleSql.qMmFrames(4, 32),
-    "q_mm_embed"      -> OracleSql.qMmEmbed(4, 32, 8),
+    "q_mm_embed"      -> OracleSql.qMmEmbed(16, 16, 8),
     "q_scrub"         -> OracleSql.qScrub,
     "q_scrub_report"  -> OracleSql.qScrubReport,
     "q_text_tokens" ->

@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * /root/reference/functions/IO/netcdf_util.r:154-488).
   *
   * The Spark-side plumbing — schema, slicing, batch shape, partitioning —
-  * is real and tested; the codec step (actual JPEG/WAV decode) is STUBBED
-  * with a deterministic byte-derived feature vector because no media
-  * libraries exist in this container. Swapping `decodeFeaturesStub` for a
-  * real decoder changes one column expression (or one `mapPartitions` over
-  * `Dataset[Array[Byte]]` batching into the native codec), nothing else.
+  * is real and tested. The decode step is REAL for the formats the JDK's
+  * own `javax.imageio` ships (PNG/BMP/GIF): [[imageEmbedding]] runs an
+  * actual codec round-trip (zlib inflate, filter reconstruction, CRCs) via
+  * [[PngCodec]], oracle-gated bit-exactly. Only the genuinely-absent codecs
+  * (JPEG/WAV/MP4 — no media libraries in this container) keep the
+  * deterministic byte-derived STUB below; swapping `decodeFeaturesStub` for
+  * a real decoder changes one column expression (or one `mapPartitions`
+  * over `Dataset[Array[Byte]]` batching into the native codec), nothing
+  * else — exactly the swap `imageEmbedding` already demonstrates for PNG.
   *
   * Everything except the clearly-marked stub is restricted to operations
   * with identical semantics in Spark and DuckDB (binary substring/hex/
@@ -74,12 +78,14 @@ object Multimodal {
     })
   }
 
-  /** ======================= STUB (no codec in container) ==================
-    * Deterministic fake "decode + feature extract": dims byte-derived
-    * pseudo-activations in [0,1), each a pure function of the payload's
-    * head fingerprint — stands in for `decode(jpeg).globalPool()`. Keeps
-    * schema (array<double>), determinism, and per-row cost shape honest.
-    * Portable: nibble-of-md5 arithmetic only.
+  /** ============ STUB (JPEG/WAV/MP4 — codecs absent in container) =========
+    * Deterministic fake "decode + feature extract" for the formats
+    * javax.imageio cannot decode: dims byte-derived pseudo-activations in
+    * [0,1), each a pure function of the payload's head fingerprint — stands
+    * in for `decode(jpeg).globalPool()`. Keeps schema (array<double>),
+    * determinism, and per-row cost shape honest. Portable: nibble-of-md5
+    * arithmetic only. The REAL decode path for JDK-supported formats is
+    * [[imageEmbedding]].
     */
   def decodeFeaturesStub(bin: Column, dims: Int): Column = {
     val fp = md5(hex(substring(bin, 1, 64)))
@@ -109,6 +115,34 @@ object Multimodal {
     * what lets 1 000 executors share the decode of a skewed shard of huge
     * videos instead of one task pinning on the biggest file.
     */
+  /** REAL image decode → pooled embedding: each payload goes through the
+    * JDK's actual PNG/BMP/GIF codec ([[PngCodec.decodeBands]]) and the
+    * decoded pixels are pooled into `nBands` horizontal-band features,
+    * normalized to [0,1] by the exact integer denominator
+    * width·height·(768/nBands) (two exactly-representable integers, one
+    * IEEE division — bit-identical in the SQL oracle).
+    *
+    * Scale shape: the decode is a per-row black-box codec call — exactly
+    * how a production media lake decodes (row-local, no shuffle, scales
+    * linearly with executors; the explode-per-frame variant in
+    * [[mmFeatures]] is the knob when single payloads are huge). A Scala UDF
+    * is the right vehicle here: the codec dominates the row-codec crossing,
+    * and unlike the text hot path there is no fused-codegen span to break
+    * (the pipeline is scan → decode → write).
+    */
+  def imageEmbedding(df: DataFrame, binCol: String, idCol: String,
+                     nBands: Int = 8): DataFrame = {
+    require(768 % nBands == 0, s"nBands=$nBands must divide 768 (=3*256) for the exact-integer normalizer")
+    val dec = udf((b: Array[Byte]) => PngCodec.decodeBands(b, nBands))
+    val denom = (col("width") * col("height") * lit(768 / nBands)).cast("double")
+    val bands = (0 until nBands).map(i =>
+      (element_at(col("_img.bandSums"), i + 1).cast("double") / denom).as(s"emb_$i"))
+    df.withColumn("_img", dec(col(binCol)))
+      .withColumn("width", col("_img.width"))
+      .withColumn("height", col("_img.height"))
+      .select(col(idCol) +: col("width") +: col("height") +: bands: _*)
+  }
+
   def mmFeatures(df: DataFrame, binCol: String, idCol: String,
                  nFrames: Int = 4, frameBytes: Int = 32, dims: Int = 8): DataFrame = {
     val frames = df

@@ -127,6 +127,34 @@ class OperatorSpec extends SparkSpec {
     assert(v1.forall(v => v.length == 8 && v.forall(x => x >= 0.0 && x < 1.0)))
   }
 
+  test("PNG codec: real javax.imageio round-trip matches the pixel function exactly") {
+    import graft.operators.PngCodec
+    // the encoded bytes are a real PNG (magic + IHDR), and decode recovers
+    // the exact synthetic pixels — lossless round-trip is the contract the
+    // q_mm_embed oracle rests on
+    for (d <- Seq(0L, 1L, 17L, 499L)) {
+      val bytes = PngCodec.synthPng(d, 16, 16)
+      assert(bytes.take(8).map(_ & 0xFF).toSeq ===
+        Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A))
+      val dec = PngCodec.decodeBands(bytes, 8)
+      assert(dec.width === 16 && dec.height === 16)
+      val expected = new Array[Long](8)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val (r, g, b) = PngCodec.synthPixel(d, x, y)
+        expected(y * 8 / 16) += r + g + b
+      }
+      assert(dec.bandSums.toSeq === expected.toSeq)
+    }
+    // and the Spark operator end-to-end: decoded-band embedding in [0,1)
+    val df = Seq(3L, 4L).toDF("id")
+      .withColumn("png", udf((d: Long) => PngCodec.synthPng(d, 16, 16)).apply(col("id")))
+    val emb = Multimodal.imageEmbedding(df, "png", "id", nBands = 8).orderBy("id").collect()
+    assert(emb.length === 2)
+    assert(emb.forall(r => (0 until 8).forall { i =>
+      val v = r.getDouble(3 + i); v >= 0.0 && v < 1.0
+    }))
+  }
+
   test("line dedup keeps the first corpus-wide occurrence of every line") {
     val d = Seq(
       (1L, "a b c d e f"),       // lines: "a b c", "d e f" — both first
