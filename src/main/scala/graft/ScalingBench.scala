@@ -68,6 +68,57 @@ object ScalingBench {
     labeled.filter(org.apache.spark.sql.functions.col("keep")).count()
   }
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val it = Files.list(p).iterator()
+      while (it.hasNext) deleteRecursively(it.next())
+    }
+    Files.deleteIfExists(p)
+  }
+
+  /** The SNAPSHOT form of the same job: the full cascade through
+    * ResumableCascade — every stage committed as a payload-pruned TableIO
+    * snapshot on real disk, final labels re-joined and committed. This is
+    * the cluster-reliable path the 100 TB resumability story rests on
+    * (localCheckpoint blocks die with their executor; committed snapshots
+    * don't), so it gets its own gate pair. Each rep uses a fresh root
+    * (cold, no committed progress) and tears it down after — the timed work
+    * includes every snapshot write and re-read.
+    */
+  def snapshotJob(spark: SparkSession, path: String, models: Models): Long = {
+    val root = Files.createTempDirectory("graft_snap")
+    try {
+      val pages = spark.read.parquet(path).select("url", "warc_ts", "html", "text", "lang")
+      val labeled = graft.cascade.ResumableCascade.run(spark, pages,
+        PagesGen.matchingConfig, root.toString, Some(models), PagesGen.exemplarTexts())
+      labeled.filter(org.apache.spark.sql.functions.col("keep")).count()
+    } finally deleteRecursively(root)
+  }
+
+  /** Resume-equivalence at bench scale: a killed-after-2-stages run resumed
+    * to completion must produce exactly the labels of an uninterrupted run
+    * on the same input. Returns (match, nDocsCompared).
+    */
+  def resumeCheck(spark: SparkSession, path: String, models: Models): (Boolean, Long) = {
+    val rootA = Files.createTempDirectory("graft_resume_a")
+    val rootB = Files.createTempDirectory("graft_resume_b")
+    try {
+      val pages = spark.read.parquet(path).select("url", "warc_ts", "html", "text", "lang")
+      val cfg = PagesGen.matchingConfig
+      val full = graft.cascade.ResumableCascade.run(spark, pages, cfg,
+        rootA.toString, Some(models), PagesGen.exemplarTexts())
+      graft.cascade.ResumableCascade.run(spark, pages, cfg,
+        rootB.toString, Some(models), PagesGen.exemplarTexts(), stopAfterStages = 2)
+      val resumed = graft.cascade.ResumableCascade.run(spark, pages, cfg,
+        rootB.toString, Some(models), PagesGen.exemplarTexts())
+      // exact per-url label equality, distributed (no driver collect)
+      val a = full.select("url", "dqc", "keep")
+      val b = resumed.select("url", "dqc", "keep")
+      val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+      (diff == 0L, a.count())
+    } finally { deleteRecursively(rootA); deleteRecursively(rootB) }
+  }
+
   /** Free checkpoint blocks left by a completed run — measurement hygiene:
     * without this a second rep starts with the previous rep's blocks still
     * pinned and measures eviction, not the job.
@@ -128,28 +179,52 @@ object ScalingBench {
     // heap/codegen state from the first level can slow the second).
     val coresList = sys.env.get("SPARK_GRAFT_CORES")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(8, 32))
-    val results = coresList.map { cores =>
-      val s = session(cores)
-      cascadeJob(s, warmupPath, models) // warm-up (JIT, codegen, footer cache)
-      reapCheckpoints(s)
-      System.err.println(s"[scaling] local[$cores] warmed")
-      val best = timeBest(reps, s)(cascadeJob(s, corpusPath, models))
-      s.stop()
-      cores -> best
-    }.toMap
-
-    val json = if (results.size == 2 && results.contains(8) && results.contains(32)) {
-      val t8 = results(8); val t32 = results(32)
-      val eff = (t8 / t32) / 4.0
-      f"""{"metric":"scaling_efficiency","value":$eff%.4f,"unit":"ratio","n_docs":$actualDocs,""" +
-        f""""t_local8_sec":$t8%.3f,"t_local32_sec":$t32%.3f,""" +
-        f""""docs_per_sec_local8":${actualDocs / t8}%.1f,"docs_per_sec_local32":${actualDocs / t32}%.1f,""" +
-        f""""speedup_8_to_32":${t8 / t32}%.3f}"""
-    } else {
-      results.toSeq.sortBy(_._1).map { case (c, t) =>
-        f"""{"metric":"cascade_time","cores":$c,"value":$t%.3f,"unit":"sec","n_docs":$actualDocs,"docs_per_sec":${actualDocs / t}%.1f}"""
-      }.mkString("\n")
+    // SPARK_GRAFT_SCALING_MODE: checkpoint (default, localCheckpoint form) |
+    // snapshot (ResumableCascade payload-pruned TableIO commits — the
+    // cluster-reliable form) | both (side-by-side comparison)
+    val modes = sys.env.getOrElse("SPARK_GRAFT_SCALING_MODE", "checkpoint") match {
+      case "both" => Seq("checkpoint", "snapshot")
+      case m      => Seq(m)
     }
+    def job(mode: String)(s: SparkSession, path: String): Long =
+      if (mode == "snapshot") snapshotJob(s, path, models)
+      else cascadeJob(s, path, models)
+
+    val lines = modes.flatMap { mode =>
+      val results = coresList.map { cores =>
+        val s = session(cores)
+        job(mode)(s, warmupPath) // warm-up (JIT, codegen, footer cache)
+        reapCheckpoints(s)
+        System.err.println(s"[scaling] $mode local[$cores] warmed")
+        val best = timeBest(reps, s)(job(mode)(s, corpusPath))
+        s.stop()
+        cores -> best
+      }
+      val sorted = results.sortBy(_._1)
+      if (sorted.size == 2 && sorted(1)._1 == 4 * sorted(0)._1) {
+        val (cN, tN) = sorted(0); val (c4N, t4N) = sorted(1)
+        val eff = (tN / t4N) / 4.0
+        Seq(f"""{"metric":"scaling_efficiency","mode":"$mode","value":$eff%.4f,"unit":"ratio","n_docs":$actualDocs,""" +
+          f""""cores_n":$cN,"cores_4n":$c4N,"t_n_sec":$tN%.3f,"t_4n_sec":$t4N%.3f,""" +
+          f""""docs_per_sec_n":${actualDocs / tN}%.1f,"docs_per_sec_4n":${actualDocs / t4N}%.1f,""" +
+          f""""speedup_n_to_4n":${tN / t4N}%.3f}""")
+      } else {
+        sorted.map { case (c, t) =>
+          f"""{"metric":"cascade_time","mode":"$mode","cores":$c,"value":$t%.3f,"unit":"sec","n_docs":$actualDocs,"docs_per_sec":${actualDocs / t}%.1f}"""
+        }
+      }
+    }
+    // SPARK_GRAFT_RESUME_CHECK=<cores>: after timing, verify at bench scale
+    // that a killed-then-resumed snapshot run labels every doc exactly like
+    // an uninterrupted run (the north_rule resumability claim, exercised on
+    // the same corpus the gate pair is measured on).
+    val resumeLine = sys.env.get("SPARK_GRAFT_RESUME_CHECK").map { cores =>
+      val s = session(cores.toInt)
+      val (ok, n) = resumeCheck(s, corpusPath, models)
+      s.stop()
+      s"""{"metric":"resume_equivalence","match":$ok,"n_docs":$n}"""
+    }
+    val json = (lines ++ resumeLine).mkString("\n")
     println(json)
     outJson.foreach(p => Files.write(java.nio.file.Paths.get(p), json.getBytes("UTF-8")))
   }

@@ -155,7 +155,7 @@ object Cascade {
     * side read the SAME frozen blocks, so the (per-run, partition-derived)
     * ids are consistent between them by construction.
     */
-  private val RowId = "_graft_rid"
+  private[cascade] val RowId = "_graft_rid"
 
   /** Columns the post-prefix stages actually read. Every `text`/`html`
     * consumer (metadata, backfill, scrub, model features, cross-field,
@@ -164,7 +164,7 @@ object Cascade {
     * (domain, lang), the row state (doit, prio, dqc), the url (salting and
     * the deterministic neighbor-cap hash) and the numeric `f_*` features.
     */
-  private def workingCol(c: String): Boolean =
+  private[cascade] def workingCol(c: String): Boolean =
     c == RowId || c == Url || c == Domain || c == Lang ||
       c == Doit || c == Prio || c == Dqc || c.startsWith("f_")
 

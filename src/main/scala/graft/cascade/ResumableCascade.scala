@@ -1,6 +1,7 @@
 package graft.cascade
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
 import graft.model.CascadeConfig
 import graft.stages.{Ingest, Models}
 import graft.io.TableIO
@@ -13,40 +14,92 @@ import graft.io.TableIO
   * committed manifest). At cluster scale this also truncates lineage, which
   * the iterate-to-convergence checks need (SURVEY.md §4, "checkpoint
   * between iterations").
+  *
+  * PAYLOAD-PRUNED SNAPSHOTS (the cluster analog of the batch engine's
+  * payload split, Cascade.run scaladoc): the row-local prefix — every
+  * text/html consumer — is folded into ONE full-width `prefix` commit that
+  * also stamps the 1:1 reattach id. Every subsequent stage snapshot holds
+  * only the light working set (Cascade.workingCol: keys, state, numeric
+  * features — ~100 bytes/row), because the neighborhood stages never read
+  * the payload; parquet being columnar, even the first light projection of
+  * `prefix` never moves the text bytes off disk. The payload is re-joined
+  * from the immutable `prefix` table by the reattach id once, at the end.
+  * Compared to full-width stage snapshots this removes the text bytes from
+  * every per-stage write AND every stats-pass re-read — the dominant I/O
+  * term of a 10^12-doc cascade, and core-count-invariant, i.e. exactly what
+  * caps scaling efficiency.
+  *
+  * Reference analog: every check's output is the next check's committed
+  * input (/root/reference/titan.r:103-263 sequential flag mutation).
   */
 object ResumableCascade {
 
   def stageTable(i: Int, code: Int) = f"stage_$i%03d_$code"
+  val PrefixTable = "prefix"
 
   /** Run the cascade committing each stage; resume from the last committed
     * stage if `root` already holds prior progress for the same stage list.
+    *
+    * `stopAfterStages`: commit at most this many post-prefix stages and
+    * return early WITHOUT the final label/metrics commit — a deterministic
+    * stand-in for a mid-run kill, used by the resume-equivalence tests and
+    * the scaling bench's resume check. Production callers leave the
+    * default.
     */
   def run(spark: SparkSession, pages: DataFrame, cfg: CascadeConfig, root: String,
-          models: Option[Models] = None, pseudoTexts: Seq[String] = Nil): DataFrame = {
+          models: Option[Models] = None, pseudoTexts: Seq[String] = Nil,
+          stopAfterStages: Int = Int.MaxValue): DataFrame = {
     val stages = Cascade.stages(cfg, models, pseudoTexts)
+    val firstSelf = stages.indexWhere(_.selfRef)
+    val splitAt = if (firstSelf < 0) stages.length else firstSelf
+    import Cascade.RowId
 
-    // find the greatest stage index with a committed snapshot
-    val lastDone = stages.indices.reverse
+    // ---- prefix: ingest + the whole row-local chain, committed ONCE with
+    // the payload columns and the reattach id. Written before any light
+    // stage, so on resume its presence is the progress indicator.
+    if (TableIO.currentSnapshot(root, PrefixTable).isEmpty) {
+      val normalized = Ingest.normalize(pages, cfg)
+      val deduped =
+        if (cfg.dedupIngest) Ingest.dropDuplicatePages(normalized) else normalized
+      val prepared = Ingest.stampLists(deduped, cfg)
+      val prefixed = stages.take(splitAt).foldLeft(prepared) { case (d, s) => s.f(d) }
+      // the id is persisted WITH the data, so it is stable across restarts
+      // by construction (a resumed run reads it, never re-derives it)
+      TableIO.write(prefixed.withColumn(RowId, monotonically_increasing_id()),
+        root, PrefixTable)
+    }
+    val prefixDf = TableIO.read(spark, root, PrefixTable)
+    val outCols = prefixDf.columns.filterNot(_ == RowId)
+    val payloadCols = outCols.filterNot(Cascade.workingCol)
+
+    // ---- light stage chain: resume from the greatest committed stage
+    val lastDone = (splitAt until stages.length).reverse
       .find(i => TableIO.currentSnapshot(root, stageTable(i, stages(i).code)).isDefined)
-
-    var df = lastDone match {
+    var light = lastDone match {
       case Some(i) => TableIO.read(spark, root, stageTable(i, stages(i).code))
-      case None    =>
-        val normalized = Ingest.normalize(pages, cfg)
-        val deduped =
-          if (cfg.dedupIngest) Ingest.dropDuplicatePages(normalized) else normalized
-        Ingest.stampLists(deduped, cfg)
+      // columnar projection: the text bytes stay on disk
+      case None => prefixDf.select(prefixDf.columns.filter(Cascade.workingCol).map(col): _*)
     }
-    val startAt = lastDone.map(_ + 1).getOrElse(0)
-    for (i <- startAt until stages.length) {
+    val startAt = lastDone.map(_ + 1).getOrElse(splitAt)
+    var committed = 0
+    for (i <- startAt until stages.length if committed < stopAfterStages) {
       val code = stages(i).code
-      df = stages(i).f(df)
-      TableIO.write(df, root, stageTable(i, code))
       // re-read the committed snapshot: truncates lineage AND guarantees the
-      // next stage consumes exactly what a restart would consume
-      df = TableIO.read(spark, root, stageTable(i, code))
+      // next stage consumes exactly what a restart would consume; a selfRef
+      // stage's two stats scans each read the pruned columnar snapshot
+      TableIO.write(stages(i).f(light), root, stageTable(i, code))
+      light = TableIO.read(spark, root, stageTable(i, code))
+      committed += 1
     }
-    val labeled = Cascade.finalDecision(df)
+    if (committed >= stopAfterStages) return light // simulated mid-run kill
+
+    // ---- payload reattach (1:1 by the persisted id) + final commit
+    val joined =
+      if (payloadCols.isEmpty) light.drop(RowId)
+      else light
+        .join(prefixDf.select((RowId +: payloadCols.toSeq).map(col): _*), Seq(RowId))
+        .select(outCols.map(col): _*)
+    val labeled = Cascade.finalDecision(joined)
     TableIO.write(labeled, root, "pages_labeled")
     TableIO.write(Cascade.metrics(labeled), root, "metrics")
     TableIO.read(spark, root, "pages_labeled")

@@ -77,4 +77,37 @@ class TableIOSpec extends SparkSpec {
     val m = TableIO.read(spark, root, "metrics")
     assert(m.agg(sum("n_docs")).collect()(0).getLong(0) === expected)
   }
+
+  test("resumable cascade: mid-run kill resumes exactly; stage snapshots are payload-pruned") {
+    val cfg = Fixture.cfg
+    val pages = PagesGen.generate(spark, 600L)
+    val root = tmpRoot()
+    // simulated kill: prefix + 2 light-stage commits, then stop before the
+    // final label/metrics commit
+    ResumableCascade.run(spark, pages, cfg, root, stopAfterStages = 2)
+    assert(TableIO.currentSnapshot(root, "pages_labeled").isEmpty,
+      "killed run must not have committed the final table")
+    assert(TableIO.currentSnapshot(root, ResumableCascade.PrefixTable).isDefined)
+
+    // payload pruning: every post-prefix stage snapshot carries the light
+    // working set only — no text/scrubbed payload bytes
+    val stageTables = Files.list(java.nio.file.Paths.get(root)).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]()
+    while (stageTables.hasNext) names += stageTables.next().getFileName.toString
+    val lightTables = names.filter(_.startsWith("stage_"))
+    assert(lightTables.nonEmpty)
+    for (t <- lightTables) {
+      val cols = TableIO.read(spark, root, t).columns.toSet
+      assert(!cols.contains(Cols.Text) && !cols.contains(Cols.Html) &&
+        !cols.exists(_.startsWith("scrubbed")),
+        s"stage table $t must not carry payload columns, has: $cols")
+    }
+
+    // the resumed run reuses the committed stages and matches a cold run
+    val resumed = ResumableCascade.run(spark, pages, cfg, root)
+      .select("url", Cols.Dqc).collect().map(r => (r.getString(0), r.getInt(1))).sorted
+    val cold = ResumableCascade.run(spark, pages, cfg, tmpRoot())
+      .select("url", Cols.Dqc).collect().map(r => (r.getString(0), r.getInt(1))).sorted
+    assert(resumed.sameElements(cold))
+  }
 }
