@@ -114,36 +114,51 @@ object ModelChecks {
     // explicit broadcast: the LM count maps are MBs — shipping them once
     // per executor (KenLM-style) instead of inside every stage's task
     // binary is the difference between OK and dead at 1000 executors.
-    // ONE fused UDF computes langid + every ensemble member's perplexity:
-    // the row-codec crossing happens once and the tokenization is shared by
-    // all members (4 separate UDFs cost 4 string decodes + 3 redundant
-    // tokenizations per row — measured ~4× the fused form).
+    // ONE native expression computes langid + every ensemble member's
+    // perplexity (ModelFeaturesExpr scaladoc): the UTF8String → String
+    // decode happens once and is shared by all members, the result struct
+    // is written as unboxed InternalRow fields (no CatalystTypeConverter
+    // walk, no boxed Double per member per row), and the feature stage
+    // stays inside whole-stage codegen. Null text coalesces to "" — detect
+    // and tokenHashes treat "" exactly as they treated null in the UDF form.
     val bc = broadcastOf(df, models)
     val nMembers = models.lms.size
-    // Executor-side STRONG pin of the broadcast value. TorrentBroadcast
-    // caches its deserialized value behind a java.lang.ref.Reference — under
-    // heap pressure the reference is cleared and every `bc.value` goes back
-    // through the BlockManager, whose BlockInfoManager lock then serializes
-    // all task threads (measured: a 32-thread run at 98% kernel time in a
-    // futex storm, scaling efficiency capped at ~0.48). The @transient lazy
-    // val re-resolves once per deserialized task closure and holds a strong
-    // reference for the task's lifetime, so the per-row cost is a field read.
+    val mf =
+      if (sys.env.contains("SPARK_GRAFT_MODEL_UDF")) legacyFeatUdf(bc, nMembers, col(Text))
+      else org.apache.spark.sql.GraftColumns.of(
+        graft.functions.ModelFeaturesExpr(
+          org.apache.spark.sql.GraftColumns.exprOf(coalesce(col(Text), lit(""))),
+          bc, nMembers))
+    var out = df
+      .withColumn("_mf", mf)
+      .withColumn(DetLang, col(s"_mf.det_lang"))
+      .withColumn(DetLangConf, col(s"_mf.det_conf"))
+    (0 until nMembers).foreach { i =>
+      out = out.withColumn(s"$LogPpl$i", col(s"_mf.ppl$i"))
+    }
+    out.drop("_mf").withColumn(LogPpl, col(s"${LogPpl}0"))
+  }
+
+  /** A/B hook (SPARK_GRAFT_MODEL_UDF=1): the round-3 fused-UDF form of the
+    * feature pass, kept so the native-expression win stays measurable on
+    * identical inputs. Emits the same struct field names as the expression.
+    * The ModelPin strong-pins the broadcast per task (see ModelFeaturesExpr
+    * scaladoc for the failure mode it prevents).
+    */
+  private def legacyFeatUdf(bc: org.apache.spark.broadcast.Broadcast[Models],
+      nMembers: Int, text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val pin = new ModelPin(bc)
-    val featUdf = udf((t: String) => {
+    val u = udf((t: String) => {
       val m = pin.m
       val det = m.langId.detect(t)
       val toks = graft.ml.NgramLM.tokenHashes(t)
       val ppls = Array.tabulate(m.lms.size)(i => m.lms(i).logPerplexityTokens(toks))
       (det._1, det._2, ppls)
     })
-    var out = df
-      .withColumn("_mf", featUdf(col(Text)))
-      .withColumn(DetLang, col("_mf._1"))
-      .withColumn(DetLangConf, col("_mf._2"))
-    (0 until nMembers).foreach { i =>
-      out = out.withColumn(s"$LogPpl$i", element_at(col("_mf._3"), i + 1))
-    }
-    out.drop("_mf").withColumn(LogPpl, col(s"${LogPpl}0"))
+    val raw = u(text)
+    struct(
+      (raw("_1").as("det_lang") +: raw("_2").as("det_conf") +:
+        (0 until nMembers).map(i => element_at(raw("_3"), i + 1).as(s"ppl$i"))): _*)
   }
 
   /** 902 (model form) — declared vs detected language with a confidence

@@ -455,6 +455,39 @@ class FeatureSpec extends SparkSpec {
       "caller passthrough columns survive the payload reattach")
   }
 
+  test("model features native expression == direct model calls, bit-exact") {
+    // differential gate for the codegen'd ModelFeaturesExpr: the struct it
+    // writes must equal driver-side langId.detect + per-member perplexity
+    // on the same strings, including the null/empty-text contract (null
+    // text coalesces to "" inside withModelFeatures → ("und", 0.0) and the
+    // empty-token perplexity, exactly the old UDF's null behavior)
+    val models = Models.train(spark,
+      io.PagesGen.generateWithClass(spark, 2000)
+        .filter(col("clazz") === "clean").select("text", "lang"))
+    val corpus = io.PagesGen.generate(spark, 300)
+      .select("url", "lang", "text")
+      .union(Seq(
+        ("https://e.example/null", "en", null.asInstanceOf[String]),
+        ("https://e.example/empty", "en", ""),
+        ("https://e.example/ws", "en", "   ")).toDF("url", "lang", "text"))
+    val out = ModelChecks.withModelFeatures(corpus, models)
+      .select(col(Cols.Url), col("text"), col(Cols.DetLang), col(Cols.DetLangConf),
+        col(s"${Cols.LogPpl}0"), col(s"${Cols.LogPpl}1"), col(s"${Cols.LogPpl}2"))
+      .orderBy(Cols.Url).collect()
+    assert(out.length === 303)
+    out.foreach { r =>
+      val t = if (r.isNullAt(1)) "" else r.getString(1)
+      val det = models.langId.detect(t)
+      val toks = graft.ml.NgramLM.tokenHashes(t)
+      assert(r.getString(2) === det._1, s"lang mismatch for ${r.getString(0)}")
+      assert(r.getDouble(3) === det._2, s"conf mismatch for ${r.getString(0)}")
+      (0 until 3).foreach { i =>
+        assert(r.getDouble(4 + i) === models.lms(i).logPerplexityTokens(toks),
+          s"ppl$i mismatch for ${r.getString(0)}")
+      }
+    }
+  }
+
   test("scrub report: exact least-squares on a synthetic linear relation") {
     // raw = k chars + " 555-123-4567" (13) → scrubbed = k + " <PHONE>" (8):
     // y = x − 5 exactly, so slope must be exactly 1.0 and intercept −5.0
