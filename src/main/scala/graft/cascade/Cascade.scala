@@ -160,13 +160,30 @@ object Cascade {
   /** Columns the post-prefix stages actually read. Every `text`/`html`
     * consumer (metadata, backfill, scrub, model features, cross-field,
     * repetition) is row-local and runs in the prefix BEFORE the first
-    * self-join stage; the neighborhood family reads only the group keys
-    * (domain, lang), the row state (doit, prio, dqc), the url (salting and
-    * the deterministic neighbor-cap hash) and the numeric `f_*` features.
+    * self-join stage; the neighborhood family reads only the configured
+    * group keys, the row state (doit, prio, dqc), the url HASH (salting and
+    * the deterministic neighbor-cap sample — the url string itself is
+    * payload from here on) and the specific numeric features it consumes:
+    * `f_nwords` (buddy/sct and the dual event), `f_digr` (sctFgDual) and
+    * the per-member perplexities (fgt/sctFg). Everything else the prefix
+    * derived — the `f_stats` struct, the row-local ratio features, the
+    * detected-language pair — is dead after the prefix and travels as
+    * payload, which at corpus scale roughly halves the bytes every light
+    * checkpoint/stat scan moves (measured via SPARK_GRAFT_SPLIT_DEBUG).
+    * SPARK_GRAFT_WIDE_LIGHT=1 restores the carry-all-f_* round-3 set for
+    * A/Bs on identical inputs.
     */
-  private[cascade] def workingCol(c: String): Boolean =
-    c == RowId || c == Url || c == Domain || c == Lang ||
-      c == Doit || c == Prio || c == Dqc || c.startsWith("f_")
+  private[cascade] def workingCol(cfg: graft.model.CascadeConfig)(c: String): Boolean =
+    if (wideLight)
+      c == RowId || c == Url || c == Domain || c == Lang ||
+        c == Doit || c == Prio || c == Dqc || c.startsWith("f_")
+    else
+      c == RowId || c == UrlHash || c == Domain || c == Lang ||
+        c == Doit || c == Prio || c == Dqc ||
+        c == NWords || c == DigitRatio || c.startsWith(LogPpl) ||
+        cfg.buddyKeys.contains(c) || cfg.isolationKeys.contains(c)
+
+  private val wideLight: Boolean = sys.env.contains("SPARK_GRAFT_WIDE_LIGHT")
 
   /** Payload split on/off (default on); SPARK_GRAFT_PAYLOAD_SPLIT=off
     * restores the carry-everything behavior for A/Bs.
@@ -248,7 +265,7 @@ object Cascade {
         val (full, fullIds) = matTracked(prefixed.withColumn(RowId, monotonically_increasing_id()))
         unpersistIds(prevCkptIds) // the ingest-dedup blocks are superseded here
         val outCols = full.columns.filterNot(_ == RowId)
-        val payloadCols = outCols.filterNot(workingCol)
+        val payloadCols = outCols.filterNot(workingCol(cfg))
         // fold the remaining stages; index 0 (the first selfRef stage) is
         // already materialized, so only LATER selfRef inputs re-checkpoint
         def foldRest(start: DataFrame): DataFrame =
@@ -268,8 +285,19 @@ object Cascade {
           // consumer didn't ask for.
           val payload = full.select((RowId +: payloadCols).map(col): _*)
           val (light, lightIds) =
-            matTracked(full.select(full.columns.filter(workingCol).map(col): _*))
+            matTracked(full.select(full.columns.filter(workingCol(cfg)).map(col): _*))
           prevCkptIds = lightIds // `full` stays pinned: it backs `payload`
+          // measurement hook for the working-set-width A/B (pair with
+          // SPARK_GRAFT_WIDE_LIGHT): rows and stored bytes of the light
+          // checkpoint, i.e. what every post-prefix stat scan re-reads
+          if (sys.env.contains("SPARK_GRAFT_SPLIT_DEBUG")) {
+            val n = light.count()
+            val bytes = sc.getRDDStorageInfo
+              .filter(i => lightIds.contains(i.id)).map(i => i.memSize + i.diskSize).sum
+            System.err.println(
+              f"[cascade] light working set: $n rows, $bytes bytes (${
+                bytes.toDouble / math.max(n, 1L)}%.1f B/row, cols=${light.columns.length})")
+          }
           foldRest(light)
             .join(payload, Seq(RowId)) // 1:1 by construction
             .select(outCols.map(col): _*)

@@ -70,7 +70,7 @@ object ResumableCascade {
     }
     val prefixDf = TableIO.read(spark, root, PrefixTable)
     val outCols = prefixDf.columns.filterNot(_ == RowId)
-    val payloadCols = outCols.filterNot(Cascade.workingCol)
+    val payloadCols = outCols.filterNot(Cascade.workingCol(cfg))
 
     // ---- light stage chain: resume from the greatest committed stage
     val lastDone = (splitAt until stages.length).reverse
@@ -78,7 +78,7 @@ object ResumableCascade {
     var light = lastDone match {
       case Some(i) => TableIO.read(spark, root, stageTable(i, stages(i).code))
       // columnar projection: the text bytes stay on disk
-      case None => prefixDf.select(prefixDf.columns.filter(Cascade.workingCol).map(col): _*)
+      case None => prefixDf.select(prefixDf.columns.filter(Cascade.workingCol(cfg)).map(col): _*)
     }
     val startAt = lastDone.map(_ + 1).getOrElse(splitAt)
     var committed = 0

@@ -74,6 +74,10 @@ object Ingest {
     */
   def features(df: DataFrame): DataFrame =
     derive(df.withColumn(Stats, TextFeatures.textStats(col(Text))))
+      // stamped here so every consumer of the feature frame (cascade,
+      // sctFgDual pseudo-docs, single-stage queries) carries it; the
+      // neighborhood family reads ONLY this hash, never the url string
+      .withColumn(UrlHash, xxhash64(col(Url)))
 
   /** Scalar features from an existing stats struct (cheap; re-run after any
     * text rewrite that refreshed the struct, e.g. the backfill). Every

@@ -223,7 +223,20 @@ object ModelChecks {
     val spark = df.sparkSession
     import spark.implicits._
     val marked = df.withColumn("_pseudo", lit(false))
-    val domains = df.select(col(Domain)).distinct()
+    // ONE aggregate over the real rows yields both the pseudo-doc domain
+    // dimension and (capped mode) the per-domain eligible-reference counts.
+    // The previous shape paid a separate corpus-wide distinct for the
+    // dimension and then re-counted the corpus inside groupStats' cap pass —
+    // one full scan more per cascade run. Domains with zero eligible rows
+    // drop out with the distinct they came from: such a domain has no alive
+    // row, so nothing in it is flaggable and its pseudo neighborhood could
+    // never be consulted. sizeDiscovered materializes the (tiny) aggregate
+    // as its own shuffle stage so AQE sees its true size at both join-backs.
+    val domCounts = Neighborhood.sizeDiscovered(
+      df.filter(Stage.referenceEligible)
+        .groupBy(col(Domain)).agg(count(lit(1)).as("_gnr"))
+        .localCheckpoint(false))
+    val domains = domCounts.select(col(Domain))
     val pseudoBase = domains.crossJoin(
       broadcast(pseudoTexts.zipWithIndex.toDF("_ptext", "_pidx")))
     val pseudo = Ingest.features(
@@ -242,9 +255,22 @@ object ModelChecks {
       .withColumn(Dqc, lit(null).cast("int"))
       .withColumn("_pseudo", lit(true))
 
-    val unioned = marked.unionByName(pseudo, allowMissingColumns = true)
+    // project the pseudo frame down to the caller's schema: the feature
+    // pass derives the full f_* set, but under the payload split the light
+    // input carries only the pruned working set — letting unionByName add
+    // the pseudo-only columns back (null on every real row) would re-widen
+    // every downstream checkpoint/snapshot of the cascade
+    val keepCols = marked.columns.toSet
+    val aligned = pseudo.select(pseudo.columns.filter(keepCols).map(col): _*)
+    val unioned = marked.unionByName(aligned, allowMissingColumns = true)
     val event = (col(DigitRatio) > cfg.fgDualDigitRatio).cast("int")
-    val stats = Neighborhood.groupStats(unioned.withColumn("_ev", event), col("_ev"), cfg)
+    // every pseudo row is referenceEligible (dqc null), so the capped-mode
+    // per-domain group size is exactly the real eligible count plus the
+    // pseudo-text count — no second count pass over the corpus needed
+    val capCounts = cfg.maxRefsPerGroup.map(_ => domCounts.select(
+      col(Domain), (col("_gnr") + lit(pseudoTexts.size.toLong)).as("_gn")))
+    val stats = Neighborhood.groupStats(unioned.withColumn("_ev", event), col("_ev"), cfg,
+        precomputedCap = capCounts)
       .withColumnRenamed("_s", "_evs").withColumnRenamed("_n", "_evn").drop("_q")
     // no broadcast hint: per-domain stats are web-scale cardinality
     // (see Neighborhood.buddyRound); AQE broadcasts when actually small

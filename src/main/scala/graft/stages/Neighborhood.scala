@@ -42,7 +42,8 @@ object Neighborhood {
     */
   def groupStats(df: DataFrame, x: Column, cfg: CascadeConfig,
                  refFilter: Column = Stage.referenceEligible,
-                 keys: Seq[String] = Seq(Domain)): DataFrame = {
+                 keys: Seq[String] = Seq(Domain),
+                 precomputedCap: Option[DataFrame] = None): DataFrame = {
     val keyCols = keys.map(col)
     // capped mode: one cheap count pass sets the per-group sampling rate.
     // sizeDiscovered is load-bearing here exactly as on the merged stats:
@@ -52,10 +53,17 @@ object Neighborhood {
     // (4M docs, local[8] event log) as 8-task checkpoint stages stuck at
     // ~49% slot occupancy, the skewed partitioning inherited by every
     // downstream checkpoint of the cascade.
+    //
+    // `precomputedCap` lets a caller that already holds the per-group
+    // eligible-row counts (keys + "_gn") supply them and skip this scan —
+    // sctFgDual derives its pseudo-doc domain dimension AND the cap counts
+    // from one aggregate over the real rows (ModelChecks.sctFgDual), so the
+    // corpus is not re-counted here. The caller owns size-discovery /
+    // materialization of the supplied frame.
     val capCounts = cfg.maxRefsPerGroup.map { _ =>
-      sizeDiscovered(
+      precomputedCap.getOrElse(sizeDiscovered(
         df.filter(refFilter).groupBy(keyCols: _*).agg(count(lit(1)).as("_gn"))
-          .localCheckpoint(false))
+          .localCheckpoint(false)))
     }
     val sampled = cfg.maxRefsPerGroup match {
       case None => df
@@ -68,7 +76,7 @@ object Neighborhood {
     }
     val xl = when(refFilter, x.cast("long"))
     val partial = sampled
-      .groupBy(keyCols :+ pmod(xxhash64(col(Url)), lit(cfg.saltBuckets.max(1))).as("_salt"): _*)
+      .groupBy(keyCols :+ pmod(col(UrlHash), lit(cfg.saltBuckets.max(1))).as("_salt"): _*)
       .agg(
         sum(xl).as("_ps"),
         sum(xl * xl).as("_pq"),
@@ -105,7 +113,7 @@ object Neighborhood {
     * Catalyst and discovers nothing (measured: the hash form left the plan
     * unchanged). No forced broadcast hint (see the scale note above).
     */
-  private def sizeDiscovered(stats: DataFrame): DataFrame =
+  private[stages] def sizeDiscovered(stats: DataFrame): DataFrame =
     stats.repartition(
       stats.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
 
@@ -116,7 +124,7 @@ object Neighborhood {
     */
   def inSampleCond(cap: Int, gn: Column): Column =
     gn <= cap ||
-      pmod(xxhash64(col(Url), lit("refcap")), lit(SampleMod)) * gn < lit(cap.toLong) * lit(SampleMod)
+      pmod(xxhash64(col(UrlHash), lit("refcap")), lit(SampleMod)) * gn < lit(cap.toLong) * lit(SampleMod)
 
   /** Per-row "my own value is inside the group statistics" indicator; true
     * everywhere in uncapped mode.

@@ -488,6 +488,76 @@ class FeatureSpec extends SparkSpec {
     }
   }
 
+  test("sctFgDual: single-aggregate domain dimension == two-scan construction") {
+    // differential gate for the domCounts reuse: the new shape (one
+    // eligible-rows aggregate feeding both the pseudo-doc dimension and the
+    // precomputed cap counts) must label every row exactly like the old
+    // shape (corpus-wide distinct + groupStats recounting the unioned
+    // frame). The corpus makes the differences observable: the cap BINDS on
+    // big.example (130 real + 2 pseudo > 40), stays slack on small.example,
+    // and dead.example is fully blacklisted (present in the old distinct,
+    // absent from the new eligible-only dimension — must not matter).
+    val cfg = CascadeConfig(
+      enabled = Set(FlagCodes.SctFgDual),
+      blacklistDomains = Set("dead.example"), keepDomains = Set.empty,
+      maxRefsPerGroup = Some(40), fgDualMinN = 3)
+    val rows = (0 until 160).map { i =>
+      val dom = if (i < 130) "big.example" else "small.example"
+      val text =
+        if (i % 13 == 0) Seq.fill(30)("42 7 99").mkString(" ")
+        else Seq.fill(60)("alpha").mkString(" ")
+      (s"https://$dom/p/$i", dom, "en", text)
+    } ++ (0 until 5).map(i => (s"https://dead.example/p/$i", "dead.example", "en", "1 2 3"))
+    val df = Ingest.stampLists(
+      Ingest.normalize(rows.toDF("url", "domain", "lang", "text"), cfg), cfg)
+      .localCheckpoint()
+    val pseudoTexts = Seq(
+      Seq.fill(20)("5 5 5").mkString(" "), Seq.fill(20)("prose prose").mkString(" "))
+    def labels(d: DataFrame): Seq[(String, Int)] =
+      d.select(col(Cols.Url), col(Cols.Dqc)).collect()
+        .map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+        .sortBy(_._1).toSeq
+    val out = labels(ModelChecks.sctFgDual(df, cfg, pseudoTexts))
+
+    // the round-3 construction, inline
+    val marked = df.withColumn("_pseudo", lit(false))
+    val pseudoBase = df.select(col(Cols.Domain)).distinct()
+      .crossJoin(broadcast(pseudoTexts.zipWithIndex.toDF("_ptext", "_pidx")))
+    val pseudo = Ingest.features(
+      pseudoBase.select(
+        concat(lit("pseudo://"), col(Cols.Domain), lit("/"), col("_pidx")).as(Cols.Url),
+        col(Cols.Domain), col("_ptext").as(Cols.Text)))
+      .drop(Cols.Text)
+      .withColumn(Cols.Lang, lit(null).cast("string"))
+      .withColumn(Cols.Doit, lit(2))
+      .withColumn(Cols.Prio, lit(0))
+      .withColumn(Cols.Dqc, lit(null).cast("int"))
+      .withColumn("_pseudo", lit(true))
+    val unioned = marked.unionByName(pseudo, allowMissingColumns = true)
+    val event = (col(Cols.DigitRatio) > cfg.fgDualDigitRatio).cast("int")
+    val stats = Neighborhood.groupStats(unioned.withColumn("_ev", event), col("_ev"), cfg)
+      .withColumnRenamed("_s", "_evs").withColumnRenamed("_n", "_evn").drop("_q")
+    val joined = unioned.withColumn("_ev", event).join(stats, Seq(Cols.Domain), "left")
+    val selfIn = coalesce(
+      Neighborhood.inSampleCond(cfg.maxRefsPerGroup.get, col("_gn")), lit(false))
+    val evSelf = when(selfIn, col("_ev").cast("long")).otherwise(lit(0L))
+    val ns = when(selfIn, lit(1L)).otherwise(lit(0L))
+    val nn = (col("_evn") - ns).cast("double")
+    val frac = when(nn > 0, (col("_evs") - evSelf).cast("double") / nn)
+    val fail = (col("_evn") - ns) >= cfg.fgDualMinN &&
+      ((frac >= cfg.fgDualHiFrac && col("_ev") === 0) ||
+       (frac <= cfg.fgDualLoFrac && col("_ev") === 1))
+    val expected = labels(
+      Stage.sticky(joined, fail, FlagCodes.SctFgDual, flagsKeep = false)
+        .filter(!col("_pseudo")))
+
+    assert(out === expected, "labels must be unchanged by the domain-dimension reuse")
+    // the scenario must actually exercise the stage: slack-cap small.example
+    // deterministically flags its digit-heavy rows (frac 3/31 <= 0.1)
+    assert(out.count(_._2 === FlagCodes.SctFgDual) >= 1)
+    assert(out.count(_._2 === FlagCodes.Blacklist) === 5)
+  }
+
   test("scrub report: exact least-squares on a synthetic linear relation") {
     // raw = k chars + " 555-123-4567" (13) → scrubbed = k + " <PHONE>" (8):
     // y = x − 5 exactly, so slope must be exactly 1.0 and intercept −5.0

@@ -30,6 +30,7 @@ class PlanSpec extends SparkSpec {
       .withColumn(Cols.Dqc, lit(null).cast("int"))
       .withColumn(Cols.Doit, lit(1))
       .withColumn(Cols.Prio, lit(0))
+      .withColumn(Cols.UrlHash, xxhash64(col("url")))
       .localCheckpoint(true)
   }
 
