@@ -867,12 +867,27 @@ object OracleSql {
        |  FROM s4b LEFT JOIN t4m USING (source)),
        |t5 AS (SELECT source, lang, COUNT(CASE WHEN (d4 IS NULL OR d4 = 990) THEN 1 END) AS n
        |  FROM s4 GROUP BY source, lang),
-       |s5 AS (SELECT s4.doc_id, CASE
+       |s5 AS (SELECT s4.doc_id, s4.source, CASE
        |    WHEN d4 IS NULL AND COALESCE(t5.n, 0) - 1 < ${c.isolationMinN} THEN 800
        |    ELSE d4 END AS d5
        |  FROM s4 LEFT JOIN t5 USING (source, lang))
        |SELECT doc_id, COALESCE(d5, 0) AS dqc,
        |  (COALESCE(d5, 0) = 0 OR COALESCE(d5, 0) = 990) AS keep
        |FROM s5 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Check-level reject counts per provider — the metrics table rolled up
+    * over partitions (partition lineage is execution detail the oracle
+    * cannot see; the per-(domain, flag) counts are the semantic content).
+    * Shares qCascade's entire CTE chain: only the final select differs.
+    * Docs.pages passes `source` through as the domain column verbatim.
+    */
+  def qCascadeMetrics(c: CascadeConfig): String = {
+    val body = qCascade(c)
+    val cut = body.lastIndexOf("SELECT doc_id, COALESCE(d5, 0) AS dqc")
+    body.substring(0, cut) +
+      s"""SELECT source AS domain, COALESCE(d5, 0) AS dqc,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM s5 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 }

@@ -201,6 +201,29 @@ object SparkEntry {
         .select(col("doc_id"), col(Cols.Dqc).cast("int").as("dqc"), col(Cols.KeepCol).as("keep"))
         .orderBy("doc_id")),
 
+    // ResumableCascade under the SAME oracle as q_cascade: the cluster/
+    // resume form (every stage committed as a payload-pruned TableIO
+    // snapshot, labels re-joined at the end — the north_rule's "restarts
+    // from the last committed snapshot" path) must label every doc exactly
+    // like the in-memory Cascade.run. rows+schema+hash parity here is the
+    // gate that snapshot commits introduce no semantic drift.
+    "q_cascade_resumable" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("resumable_q").toString
+      graft.cascade.ResumableCascade.run(s, Docs.pages(s, dir), docCfg, root)
+        .select(col("doc_id"), col(Cols.Dqc).cast("int").as("dqc"), col(Cols.KeepCol).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // The check-level reject-count metrics table (north_rule: "check-level
+    // reject counts to a metrics table"), rolled up over the partition-
+    // lineage dimension so DuckDB can model it: per-(domain, flag) doc
+    // counts of the labeled corpus.
+    "q_cascade_metrics" -> ((s, dir) =>
+      Cascade.metrics(Cascade.run(Docs.pages(s, dir), docCfg))
+        .groupBy(col(Cols.Domain), col(Cols.Dqc).cast("int").as("dqc"))
+        .agg(sum("n_docs").cast("long").as("n_docs"))
+        .orderBy(Cols.Domain, "dqc")),
+
     // Structured-Streaming twin of q_cascade — the continuous-ingest form
     // (readStream file source → foreachBatch full cascade → TableIO
     // snapshot commit per micro-batch). One available-now micro-batch spans
@@ -505,6 +528,10 @@ object SparkEntry {
     "q_check_sct_iter"     -> OracleSql.qSctIter(docCfg.sctMinN, SctIterZ),
     "q_check_crossfield"   -> OracleSql.qCrossField,
     "q_cascade"            -> OracleSql.qCascade(docCfg),
+    // the snapshot-committed form must agree with the in-memory form doc
+    // for doc, so it shares the oracle verbatim
+    "q_cascade_resumable"  -> OracleSql.qCascade(docCfg),
+    "q_cascade_metrics"    -> OracleSql.qCascadeMetrics(docCfg),
     // the streaming twin commits per-micro-batch snapshots of the SAME
     // cascade — one available-now batch = the whole corpus, so the batch
     // oracle applies verbatim (rows+schema+hash parity is the gate that the
