@@ -65,12 +65,23 @@ object Cascade {
   def iterate(df: DataFrame, maxIter: Int, breakAt: Long, code: Int)
              (once: DataFrame => DataFrame): DataFrame = {
     if (maxIter <= 1) return once(df)
+    val sc = df.sparkSession.sparkContext
     var cur = df
+    var prevIds: Set[Int] = Set.empty
     var prevFlagged = 0L
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
+      // track the round's blocks (the checkpoint plus any per-group stats
+      // checkpoints `once` registered while building) and release the
+      // PREVIOUS round's as soon as the new round is materialized — a
+      // 4-round iteration otherwise keeps four full light-corpus
+      // checkpoints pinned until the next stage-level sweep
+      val before = sc.getPersistentRDDs.keySet.toSet
       cur = materialize(once(cur), eager = true)
+      val added = sc.getPersistentRDDs.keySet.toSet.diff(before)
+      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevIds = added
       val flagged = cur.filter(col(Dqc) === code).count()
       val fresh = flagged - prevFlagged
       prevFlagged = flagged
@@ -218,12 +229,19 @@ object Cascade {
           models: Option[Models] = None,
           pseudoTexts: Seq[String] = Nil): DataFrame = {
     // Each selfRef stage's input is eagerly checkpointed (so its two scans
-    // share one computation), and the PREVIOUS stage's blocks — now
-    // superseded by the new leaf — are unpersisted immediately. Without
-    // this, every stage's blocks stay pinned until driver GC and a long
-    // cascade over millions of rows turns into an eviction storm. Only
-    // RDDs this run created are touched (callers' caches are left alone).
+    // share one computation), and everything this run registered that the
+    // new leaf supersedes — the previous stage's checkpoint, iterate-round
+    // leftovers, the per-group stats checkpoints groupStats/joinReady
+    // created while the stage plan was BUILT (those register between
+    // materializations, so a window diff never sees them) — is unpersisted
+    // immediately after the leaf materializes. Without this, blocks stay
+    // pinned until driver GC and a long cascade over millions of rows turns
+    // into an eviction storm. Sweep scope: RDDs registered after this run
+    // started and not explicitly protected; callers' pre-existing caches
+    // are outside the baseline and never touched.
     val sc = pages.sparkSession.sparkContext
+    val baseline = sc.getPersistentRDDs.keySet.toSet
+    var protectedIds: Set[Int] = Set.empty
     def matTracked(d: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet.toSet
       val c = materialize(d, eager = true)
@@ -231,23 +249,22 @@ object Cascade {
     }
     def unpersistIds(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    var prevCkptIds: Set[Int] = Set.empty
+    def sweepExcept(keep: Set[Int]): Unit =
+      unpersistIds(sc.getPersistentRDDs.keySet.toSet
+        .diff(baseline).diff(keep).diff(protectedIds))
     def ckpt(d: DataFrame): DataFrame = {
       val (c, added) = matTracked(d)
-      unpersistIds(prevCkptIds)
-      prevCkptIds = added
+      sweepExcept(added)
       c
     }
     val normalized = Ingest.normalize(pages, cfg)
     // ingest-time duplicate drop BEFORE any check (read_data_to_check.r:
     // 122-143): duplicates must never inflate neighborhood statistics.
-    // Self-join-shaped, so the input is materialized like selfRef stages —
-    // and seeded into the reap chain: its blocks (still carrying html) are
-    // dead the moment the next checkpoint materializes, so they must not
-    // stay pinned for the rest of the cascade.
+    // Self-join-shaped, so the input is materialized like selfRef stages;
+    // its blocks (still carrying html) are dead the moment the next
+    // checkpoint materializes, and the baseline sweep reaps them there.
     val deduped = if (cfg.dedupIngest) {
-      val (m, ids) = matTracked(normalized)
-      prevCkptIds = ids
+      val (m, _) = matTracked(normalized)
       Ingest.dropDuplicatePages(m)
     } else normalized
     val prepared = Ingest.stampLists(deduped, cfg)
@@ -263,7 +280,7 @@ object Cascade {
       else {
         val prefixed = stageList.take(firstSelf).foldLeft(prepared) { case (d, s) => s.f(d) }
         val (full, fullIds) = matTracked(prefixed.withColumn(RowId, monotonically_increasing_id()))
-        unpersistIds(prevCkptIds) // the ingest-dedup blocks are superseded here
+        sweepExcept(fullIds) // the ingest-dedup blocks are superseded here
         val outCols = full.columns.filterNot(_ == RowId)
         val payloadCols = outCols.filterNot(workingCol(cfg))
         // fold the remaining stages; index 0 (the first selfRef stage) is
@@ -273,7 +290,6 @@ object Cascade {
             case (d, (s, i)) => s.f(if (s.selfRef && i > 0) ckpt(d) else d)
           }
         if (payloadCols.isEmpty) {
-          prevCkptIds = fullIds
           foldRest(full).drop(RowId)
         } else {
           // payload stays a LAZY projection of the pinned `full` blocks —
@@ -284,9 +300,10 @@ object Cascade {
           // pruned read of (RowId, payloadCols) never copies bytes the
           // consumer didn't ask for.
           val payload = full.select((RowId +: payloadCols).map(col): _*)
+          protectedIds ++= fullIds // `full` stays pinned: it backs `payload`
           val (light, lightIds) =
             matTracked(full.select(full.columns.filter(workingCol(cfg)).map(col): _*))
-          prevCkptIds = lightIds // `full` stays pinned: it backs `payload`
+          sweepExcept(lightIds)
           // measurement hook for the working-set-width A/B (pair with
           // SPARK_GRAFT_WIDE_LIGHT): rows and stored bytes of the light
           // checkpoint, i.e. what every post-prefix stat scan re-reads

@@ -219,6 +219,22 @@ final case class CascadeConfig(
     maxRefsPerGroup: Option[Int] = None,
     // skew handling: #salt buckets for two-level aggregation of group stats
     saltBuckets: Int = 8,
+    // stats join-back form (Neighborhood.statsJoinForm): the per-group
+    // stats table's cardinality is MEASURED at run time (one count over an
+    // already-checkpointed frame) and the physical join is chosen
+    // statically — broadcast at or below this many groups, genuine
+    // sort-merge (plus AQE skew split) above it. 2M groups ≈ ~100 MB of
+    // (key, 4×long) rows: comfortably broadcastable on executors sized for
+    // a 100 TB corpus, far above anything a static optimizer would risk,
+    // and far below the 10⁷–10⁸-domain regime where SMJ is the only
+    // correct answer. Why not leave it to AQE: its mid-flight SMJ→BHJ
+    // conversion first materializes the probe-side exchange — a full
+    // corpus shuffle write per stats join, hash-partitioned on the
+    // zipf-skewed group key — and can then read it reduce-side, baking a
+    // 60%-of-rows partition into every downstream checkpoint (measured:
+    // two 54.5 s single-straggler buddy-iteration jobs at 4M docs that
+    // were the whole 2→8-core scaling deficit)
+    statsBroadcastMaxGroups: Long = 2000000L,
     // payload split (Cascade.run): below this estimated input size the
     // fixed cost of the extra light/full materializations cannot repay the
     // checkpoint-traffic savings (measured at sf0.1: +4 s on a 5k-doc

@@ -230,12 +230,12 @@ object ModelChecks {
     // one full scan more per cascade run. Domains with zero eligible rows
     // drop out with the distinct they came from: such a domain has no alive
     // row, so nothing in it is flaggable and its pseudo neighborhood could
-    // never be consulted. sizeDiscovered materializes the (tiny) aggregate
-    // as its own shuffle stage so AQE sees its true size at both join-backs.
-    val domCounts = Neighborhood.sizeDiscovered(
-      df.filter(Stage.referenceEligible)
-        .groupBy(col(Domain)).agg(count(lit(1)).as("_gnr"))
-        .localCheckpoint(false))
+    // never be consulted. The checkpoint makes the aggregate compute once;
+    // its measured cardinality picks the join-back form downstream
+    // (Neighborhood.statsJoinForm via groupStats' precomputedCap count).
+    val domCounts = df.filter(Stage.referenceEligible)
+      .groupBy(col(Domain)).agg(count(lit(1)).as("_gnr"))
+      .localCheckpoint(false)
     val domains = domCounts.select(col(Domain))
     val pseudoBase = domains.crossJoin(
       broadcast(pseudoTexts.zipWithIndex.toDF("_ptext", "_pidx")))
@@ -272,8 +272,9 @@ object ModelChecks {
     val stats = Neighborhood.groupStats(unioned.withColumn("_ev", event), col("_ev"), cfg,
         precomputedCap = capCounts)
       .withColumnRenamed("_s", "_evs").withColumnRenamed("_n", "_evn").drop("_q")
-    // no broadcast hint: per-domain stats are web-scale cardinality
-    // (see Neighborhood.buddyRound); AQE broadcasts when actually small
+    // join form chosen from the measured domain cardinality inside
+    // groupStats (Neighborhood.statsJoinForm): broadcast when the dimension
+    // is small, genuine SMJ + AQE skew split at web-scale cardinality
     val joined = unioned.withColumn("_ev", event)
       .join(stats, Seq(Domain), "left")
     val selfIn = Neighborhood.selfInSample(cfg)

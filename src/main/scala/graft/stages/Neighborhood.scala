@@ -14,9 +14,10 @@ import graft.model.{BuddyParams, CascadeConfig, DualParams, FlagCodes, SctParams
   * Scale design — deliberately NOT `Window.partitionBy(domain)`:
   * neighborhood statistics are computed with a two-level (salted)
   * `groupBy` — partial sums per (domain, salt(url)) then merge per domain —
-  * and joined back with a plain equi-join (NO broadcast hint: the stats
-  * table has one row per domain, which on a real web corpus is 10⁷–10⁸
-  * rows; AQE broadcasts it automatically when it is actually small).
+  * and joined back with an equi-join whose physical form is chosen from
+  * the MEASURED group cardinality ([[statsJoinForm]]): broadcast while the
+  * dimension fits (no corpus shuffle at all), genuine sort-merge + AQE
+  * skew split at the 10⁷–10⁸-domain scale where broadcast is impossible.
   * Map-side combine plus the salt level means a giant host domain (50% of
   * a 100 TB corpus on one key) never lands on a single reducer, which
   * `Window.partitionBy(domain)` would force. Leave-one-out aggregates are
@@ -46,31 +47,31 @@ object Neighborhood {
                  precomputedCap: Option[DataFrame] = None): DataFrame = {
     val keyCols = keys.map(col)
     // capped mode: one cheap count pass sets the per-group sampling rate.
-    // sizeDiscovered is load-bearing here exactly as on the merged stats:
-    // a localCheckpoint's size is opaque to AQE, so the left join of the
-    // CORPUS against this per-group table would stay a SortMergeJoin that
-    // shuffles the full corpus by the zipf-skewed group key — measured
-    // (4M docs, local[8] event log) as 8-task checkpoint stages stuck at
-    // ~49% slot occupancy, the skewed partitioning inherited by every
-    // downstream checkpoint of the cascade.
+    // The count table joins the FULL corpus by the group key, so its join
+    // form goes through statsJoinForm like the merged stats below.
     //
     // `precomputedCap` lets a caller that already holds the per-group
     // eligible-row counts (keys + "_gn") supply them and skip this scan —
     // sctFgDual derives its pseudo-doc domain dimension AND the cap counts
     // from one aggregate over the real rows (ModelChecks.sctFgDual), so the
-    // corpus is not re-counted here. The caller owns size-discovery /
-    // materialization of the supplied frame.
+    // corpus is not re-counted here. The caller owns materialization of the
+    // supplied frame (it must be a checkpoint, so the count here is a
+    // block-metadata scan, not a corpus pass).
     val capCounts = cfg.maxRefsPerGroup.map { _ =>
-      precomputedCap.getOrElse(sizeDiscovered(
+      precomputedCap.getOrElse(
         df.filter(refFilter).groupBy(keyCols: _*).agg(count(lit(1)).as("_gn"))
-          .localCheckpoint(false)))
+          .localCheckpoint(false))
     }
+    // the measured group-dimension cardinality — one tiny count over the
+    // checkpointed cap table; drives every join-form decision below
+    val nGroups = capCounts.map(_.count())
+    val capReady = capCounts.map(c => statsJoinForm(c, nGroups.get, cfg))
     val sampled = cfg.maxRefsPerGroup match {
       case None => df
       case Some(cap) =>
         // deterministic proportional thinning: keep row iff its url hash
         // falls under cap/n of the hash space (exact at any parallelism)
-        df.join(capCounts.get, keys, "left")
+        df.join(capReady.get, keys, "left")
           .filter(col("_gn").isNull || inSampleCond(cap, col("_gn")))
           .drop("_gn")
     }
@@ -88,30 +89,70 @@ object Neighborhood {
     // capped mode: carry the pre-cap group size so consumers can re-derive
     // per-row whether THIS row was sampled (LOO terms must only subtract
     // contributions that are actually inside the sampled statistics)
-    capCounts.fold(merged)(c => sizeDiscovered(merged.join(c, keys, "left")))
+    (capReady, nGroups) match {
+      case (Some(c), Some(n)) => statsJoinForm(merged.join(c, keys, "left"), n, cfg)
+      case _                  => joinReady(merged, cfg)
+    }
   }
 
-  /** Make a (small) stats table's true size visible to AQE before it is
-    * joined back to the corpus. A stats table whose top is not a shuffle
-    * stage — e.g. a JOIN of two aggregates, or aggregates whose exchanges
-    * were all elided because the subtree inherited the group-key hash
-    * partitioning — is a composite subtree: AQE's runtime join planning
-    * only reads sizes off materialized shuffle stages, so the composite
-    * keeps a static (wildly over-) estimate, the join-back stays
-    * SortMergeJoin, and the FULL corpus is shuffled by the group key —
-    * measured on a 2M-doc zipf corpus as a 141 MB hot partition (vs 17 MB
-    * median) sitting under AQE's 256 MB skew-split threshold: a straggler
-    * on every stats join of the cascade, and every downstream checkpoint
-    * inherits the skewed partitioning. One extra ROUND-ROBIN repartition of
-    * the per-group table (trivial: rows = #groups) materializes it as its
-    * own shuffle stage; AQE then sees the real size and broadcasts the
-    * join-back when the table is genuinely small — the corpus side is read
-    * map-local, never by the skewed key — while at 10⁷–10⁸-domain scale it
-    * keeps the SMJ (one extra tiny re-hash of the stats side). Round-robin,
-    * NOT repartition(keys): the subtree is typically already hash(keys)-
-    * partitioned, so a same-key repartition is elided as redundant by
-    * Catalyst and discovers nothing (measured: the hash form left the plan
-    * unchanged). No forced broadcast hint (see the scale note above).
+  /** Choose the physical form of a per-group stats table's join against the
+    * corpus, from its MEASURED cardinality — instead of leaving the choice
+    * to the optimizer, which cannot know it statically (the table sits
+    * behind an aggregation over a checkpoint of unknown size) and whose
+    * adaptive fallback has a pathological failure mode here. Measured on
+    * the 4M-doc scaling corpus (event logs, local[2]/local[8]): AQE's
+    * mid-flight SortMergeJoin→BroadcastHashJoin conversion first
+    * materializes the probe-side exchange — a full corpus shuffle WRITE per
+    * stats join, hash-partitioned on the zipf-skewed group key — and then
+    * sometimes reads it reduce-side instead of map-locally, baking a
+    * 60 %-of-rows partition into the materialized stage and EVERY
+    * downstream checkpoint that inherits its partitioning (all local-read
+    * map-side stages preserve layout). The result was two buddy-iteration
+    * jobs bound by a single 54.5 s straggler task each — invisible at 2
+    * cores (everything queues anyway), the entire scaling deficit at 8+.
+    *
+    * With the cardinality in hand the choice is static and safe in both
+    * regimes: at or below [[CascadeConfig.statsBroadcastMaxGroups]] the
+    * stats side is broadcast — the corpus side then has NO exchange at all
+    * (no shuffle write, no skew, layout inherited from the balanced scan);
+    * above it (10⁷–10⁸ registered domains at 100 TB) the join stays a real
+    * SMJ, which AQE's skew split (GraftSession: 32 MB threshold) splits
+    * into advisory-sized chunks — balanced again, and no mid-flight
+    * conversion can occur because the stats side is far above the
+    * auto-broadcast threshold. Reference analog: the reference holds its
+    * station metadata in memory per provider (read_data_to_check.r) — the
+    * broadcast regime — while this engine must also survive the regime
+    * where the dimension itself is distributed.
+    */
+  private[stages] def statsJoinForm(stats: DataFrame, nGroups: Long,
+                                    cfg: CascadeConfig): DataFrame =
+    if (nGroups <= cfg.statsBroadcastMaxGroups) broadcast(stats)
+    else sizeDiscovered(stats)
+
+  /** [[statsJoinForm]] for a stats frame whose cardinality is not yet
+    * known: checkpoint it (so the measuring count and the join read one
+    * computation) and count it. The checkpoint blocks are registered while
+    * the enclosing stage builds, so Cascade.run's reap chain releases them
+    * with the stage's own materialization.
+    */
+  private[stages] def joinReady(stats: DataFrame, cfg: CascadeConfig): DataFrame = {
+    val ck = stats.localCheckpoint(false)
+    statsJoinForm(ck, ck.count(), cfg)
+  }
+
+  /** SMJ-regime half of [[statsJoinForm]]: materialize the stats table as
+    * its own round-robin shuffle stage so AQE sees its true size and
+    * shape. Kept for the web-scale branch only — the broadcast regime is
+    * now chosen statically from the measured cardinality, because relying
+    * on AQE's runtime conversion here was actively harmful (it still
+    * materialized the corpus-side probe exchange it had planned for the
+    * SMJ — a full corpus shuffle write per stats join, hash-partitioned on
+    * the zipf-skewed group key — and could then read it reduce-side,
+    * propagating a 60 %-of-rows partition into every downstream
+    * checkpoint; see statsJoinForm). Round-robin, NOT repartition(keys):
+    * the subtree is typically already hash(keys)-partitioned, so a
+    * same-key repartition is elided as redundant by Catalyst and discovers
+    * nothing (measured: the hash form left the plan unchanged).
     */
   private[stages] def sizeDiscovered(stats: DataFrame): DataFrame =
     stats.repartition(
@@ -178,10 +219,10 @@ object Neighborhood {
       case Some(p) => Stage.referenceEligible && col(Prio) >= p
       case None    => Stage.referenceEligible
     }
-    // stats table: one row per buddy-key group. NO broadcast hint — on a
-    // real web corpus "one row per domain" is 10⁷–10⁸ rows, and a forced
-    // broadcast is a driver OOM at exactly the scale this engine targets.
-    // The join is a plain equi-join; AQE broadcasts it when actually small.
+    // stats table: one row per buddy-key group; join form chosen from the
+    // measured cardinality inside groupStats (statsJoinForm) — broadcast
+    // while it fits, genuine SMJ + AQE skew split at the 10⁷–10⁸-domain
+    // scale where an unconditional broadcast would OOM the driver.
     // optional variance-stabilizing transform before the z test: word-count
     // distributions are heavy-tailed like the reference's precipitation, and
     // the reference boxcoxes values before its gaussian checks
@@ -316,8 +357,8 @@ object Neighborhood {
       case Some(p) => Stage.referenceEligible && col(Prio) >= p
       case None    => Stage.referenceEligible
     }
-    val os = sizeDiscovered(
-      centralOrderStats(df, Seq(Domain), col(NWords), alive))
+    val os = joinReady(
+      centralOrderStats(df, Seq(Domain), col(NWords), alive), cfg)
     val withOs = df.join(os, Seq(Domain), "left")
 
     val x  = col(NWords).cast("long")
@@ -342,8 +383,8 @@ object Neighborhood {
     val madOs = centralOrderStats(withOs, Seq(Domain), d2, alive)
     val madLoHiSum = when(pmod(col("_n"), lit(2)) === 0, col("_m0") + col("_m1"))
       .otherwise(col("_m1") + col("_m1"))
-    val mad = sizeDiscovered(
-      madOs.select(col(Domain), madLoHiSum.cast("double").divide(lit(4.0)).as("_mad")))
+    val mad = joinReady(
+      madOs.select(col(Domain), madLoHiSum.cast("double").divide(lit(4.0)).as("_mad")), cfg)
     val joined = withOs.join(mad, Seq(Domain), "left")
 
     val dev  = abs(x.cast("double") - looMed)
@@ -388,7 +429,7 @@ object Neighborhood {
     val event = (col(NWords) > params.eventWords).cast("int")
     val stats = groupStats(df.withColumn("_ev", event), col("_ev"), cfg, refFilter)
       .withColumnRenamed("_s", "_evs").withColumnRenamed("_n", "_evn").drop("_q")
-    // no broadcast hint: per-domain stats are web-scale cardinality (see buddyRound)
+    // join form from measured cardinality (statsJoinForm, see buddyRound)
     val joined = df.withColumn("_ev", event)
       .join(stats, Seq(Domain), "left")
 
@@ -420,7 +461,7 @@ object Neighborhood {
       case None    => stats0.select(statCols: _*)
       case Some(_) => stats0.select(statCols :+ col("_gn"): _*)
     }
-    // no broadcast hint: per-(domain,lang) stats are web-scale cardinality
+    // join form from measured cardinality (statsJoinForm, see buddyRound)
     val joined = df.join(stats, keys, "left")
     val ns = when(selfInSample(cfg), lit(1L)).otherwise(lit(0L))
     val fail = coalesce(col("_n"), lit(0L)) - ns < cfg.isolationMinN
