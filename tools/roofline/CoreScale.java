@@ -2,14 +2,18 @@ import java.util.concurrent.*;
 import java.util.concurrent.atomic.*;
 
 /** Per-thread ALU throughput and aggregate memory bandwidth at N threads.
- *  Usage: java CoreScale [alu|mem] nThreads */
+ *  Usage: java CoreScale [alu|mem] nThreads [perThreadMB]
+ *  perThreadMB (default 256 = always beyond L3) sizes each thread's private
+ *  streaming working set: at sizes under the shared L3 (260 MB on this host)
+ *  a 1-thread run is cache-resident while a 4-thread run of the same kernel
+ *  spills — the L3-capacity scaling term that fixed-footprint kernels miss. */
 public class CoreScale {
-  static final int MEM_MB = 256;          // per-thread array (beyond L3)
   static final long ALU_ITERS = 2_000_000_000L;
 
   public static void main(String[] args) throws Exception {
     String mode = args[0];
     int n = Integer.parseInt(args[1]);
+    final int memMb = args.length > 2 ? Integer.parseInt(args[2]) : 256;
     ExecutorService pool = Executors.newFixedThreadPool(n);
     CountDownLatch ready = new CountDownLatch(n), go = new CountDownLatch(1);
     AtomicLong sink = new AtomicLong();
@@ -23,12 +27,12 @@ public class CoreScale {
         sink.addAndGet(x + y);
         return ALU_ITERS / s / 1e9;     // G-iters/s per thread
       } else {
-        int len = MEM_MB * 1024 * 1024 / 8;
+        int len = memMb * 1024 * 1024 / 8;
         long[] a = new long[len], b = new long[len];
         for (int i = 0; i < len; i++) { a[i] = i; }
         ready.countDown(); go.await();
         long t0 = System.nanoTime(); long acc = 0;
-        int passes = 48;
+        int passes = (int) (48L * 256 / memMb);   // constant bytes/thread
         for (int p = 0; p < passes; p++)
           for (int i = 0; i < len; i++) { b[i] = a[i] + p; acc += b[i]; }
         double s = (System.nanoTime() - t0) / 1e9;
@@ -42,8 +46,8 @@ public class CoreScale {
     ready.await(); long w0 = System.nanoTime(); go.countDown();
     double per = 0; for (Future<Double> f : fs) per += f.get();
     double wall = (System.nanoTime() - w0) / 1e9;
-    System.out.printf("mode=%s threads=%d perThreadMean=%.3f aggregate=%.3f wall=%.1fs sink=%d%n",
-        mode, n, per / n, per, wall, sink.get() & 1);
+    System.out.printf("mode=%s threads=%d mb=%d perThreadMean=%.3f aggregate=%.3f wall=%.1fs sink=%d%n",
+        mode, n, memMb, per / n, per, wall, sink.get() & 1);
     pool.shutdown();
   }
 }
