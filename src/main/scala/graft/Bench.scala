@@ -12,6 +12,13 @@ object Bench {
   val ControlQuery = "q_agg_lineitem"
   val ControlSteadyStateSec = 0.35
 
+  /** Noisy-window flag threshold. The round-4 window ran the control at
+    * ×1.46 its steady state — visibly inflated — yet the old 1.5 threshold
+    * let it pass as quiet; 1.25 flags anything beyond the control's own
+    * quiet-window spread (0.33–0.39 s ≈ ×1.11 of steady).
+    */
+  val NoisyControlRatio = 1.25
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -59,7 +66,7 @@ object Bench {
       f"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         f""""control_query":"$ControlQuery","control_sec":$controlSec%.3f,""" +
         f""""control_steady_sec":$ControlSteadyStateSec,"control_ratio":$controlRatio%.2f,""" +
-        f""""noisy_window":${controlRatio > 1.5}}"""
+        f""""noisy_window":${controlRatio > NoisyControlRatio}}"""
     println(json)
     // machine-readable sidecar: the driver's BENCH_rN.json keeps only a raw
     // log tail ("parsed": null in r3) — the sidecar carries the same JSON

@@ -745,11 +745,11 @@ object OracleSql {
        |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_dup${n}_frac
        |  FROM ${p}c GROUP BY doc_id)""".stripMargin
 
-  val repWordsCte: String =
-    "w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents)"
+  def repWordsCte(table: String = "documents"): String =
+    s"w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM $table)"
 
   def qRepetition: String =
-    s"""WITH $repWordsCte,
+    s"""WITH ${repWordsCte()},
        |${repCtes("r2", 2)},
        |${repCtes("r3", 3)}
        |SELECT d.doc_id, r2a.rep_top2_frac, r2a.rep_dup2_frac,
@@ -763,14 +763,15 @@ object OracleSql {
       s"rep_top3_frac > ${c.maxTop3GramFrac})"
 
   def qRepetitionCheck(c: CascadeConfig): String =
-    s"""WITH $repWordsCte,
+    s"""WITH ${repWordsCte()},
        |${repCtes("r2", 2)},
        |${repCtes("r3", 3)}
        |SELECT d.doc_id, CASE WHEN ${repFail(c)} THEN 503 END AS dqc
        |FROM documents d LEFT JOIN r2a USING (doc_id) LEFT JOIN r3a USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
-  def qCascade(c: CascadeConfig): String = {
+  def qCascade(c: CascadeConfig, table: String = "documents",
+               orderBy: Boolean = true): String = {
     val blackCase = c.blacklistDomains.toSeq.sorted
       .map(d => s"WHEN source = '$d' THEN 999").mkString(" ")
     val keepCase = c.keepDomains.toSeq.sorted
@@ -783,12 +784,12 @@ object OracleSql {
     // whose warc_ts is constant — so the min-(url, warc_ts) keeper reduces
     // to the min url per normalized-text fingerprint)
     val src =
-      if (!c.dedupIngest) "documents"
+      if (!c.dedupIngest) table
       else s"""(SELECT doc_id, source, lang, text FROM (
               |  SELECT doc_id, source, lang, text,
               |    'https://' || source || '.example.com/d/' || doc_id AS _url,
               |    CASE WHEN text IS NOT NULL AND length(trim(text)) > 0
-              |         THEN $fingerprint END AS _fp FROM documents)
+              |         THEN $fingerprint END AS _fp FROM $table)
               | QUALIFY _fp IS NULL OR _url = min(_url) OVER (PARTITION BY _fp))""".stripMargin
     // repetition (503) layer, present iff the config builds the stage
     // (Cascade.stages gates on enabled + repetitionActive). The rep_*
@@ -797,12 +798,13 @@ object OracleSql {
     val repOn = c.enabled.contains(graft.model.FlagCodes.Repetition) && c.repetitionActive
     val repCteSql =
       if (!repOn) ""
-      else s",\n$repWordsCte,\n${repCtes("cr2", 2)},\n${repCtes("cr3", 3)}"
+      else s",\n${repWordsCte(table)},\n${repCtes("cr2", 2)},\n${repCtes("cr3", 3)}"
     val repJoin =
       if (!repOn) ""
       else " LEFT JOIN cr2a USING (doc_id) LEFT JOIN cr3a USING (doc_id)"
     val repFrepCol = if (!repOn) "" else s", ${repFail(c)} AS f_rep"
     val repWhen = if (!repOn) "" else "\n    WHEN d0 IS NULL AND f_rep THEN 503"
+    val orderClause = if (orderBy) " ORDER BY doc_id" else ""
     s"""WITH base0 AS (
        |  SELECT doc_id, source, lang,
        |    $nw AS nw,
@@ -873,7 +875,23 @@ object OracleSql {
        |  FROM s4 LEFT JOIN t5 USING (source, lang))
        |SELECT doc_id, COALESCE(d5, 0) AS dqc,
        |  (COALESCE(d5, 0) = 0 OR COALESCE(d5, 0) = 990) AS keep
-       |FROM s5 ORDER BY doc_id""".stripMargin
+       |FROM s5$orderClause""".stripMargin
+  }
+
+  /** Per-micro-batch cascade over disjoint slices of the documents table —
+    * the q_stream_batches oracle: each slice is a complete, independent
+    * cascade run (one micro-batch = one neighborhood-statistics window,
+    * exactly the engine's documented per-snapshot streaming semantics), and
+    * the union of per-slice labels is order-independent because the slices
+    * partition doc_id.
+    */
+  def qCascadeSliced(c: CascadeConfig, slicePreds: Seq[String]): String = {
+    val arms = slicePreds.map(p =>
+      "(" + qCascade(c, table = s"(SELECT * FROM documents WHERE $p)",
+        orderBy = false) + ")")
+    s"""SELECT doc_id, dqc, keep FROM (
+       |${arms.mkString("\nUNION ALL\n")}
+       |) ORDER BY doc_id""".stripMargin
   }
 
   /** Check-level reject counts per provider — the metrics table rolled up
@@ -889,5 +907,68 @@ object OracleSql {
       s"""SELECT source AS domain, COALESCE(d5, 0) AS dqc,
          |  CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM s5 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** q_langid oracle — the exact-integer-scoring language detection
+    * (LangId.detectExact) expressed fully in SQL: the seed profiles'
+    * integer trigram counts are inlined as a VALUES CTE (they are a pure
+    * function of the public seed corpora, generated here from the SAME
+    * LangId.seeds the engine uses, so the two sides cannot drift), doc
+    * trigrams come from the identical normalization (lowercase, [^a-z]→' ',
+    * collapse runs, pad one space each side — the corpus is all-ASCII, so
+    * SQL lower == Java toLowerCase), and the scoring chain is
+    * idot/sqrt(seedSsq) → argmax (ties: lang ascending) → margin/sqrt(docSsq)
+    * with the exact IEEE operation order of detectExact.
+    */
+  def qLangIdExact: String = {
+    // string-keyed integer trigram counts of each seed corpus — the same
+    // enumeration as LangId.profile (padded, space-collapsed)
+    def seedCounts(corpus: String): (Map[String, Long], Long) = {
+      val s = " " + corpus.toLowerCase.replaceAll("[^a-z ]", " ")
+        .replaceAll(" +", " ").trim + " "
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      var i = 0
+      while (i + 3 <= s.length) {
+        val g = s.substring(i, i + 3)
+        m(g) = m.getOrElse(g, 0L) + 1
+        i += 1
+      }
+      (m.toMap, m.valuesIterator.map(c => c * c).sum)
+    }
+    val langs = graft.ml.LangId.seeds.toSeq.sortBy(_._1)
+    val seedRows = langs.flatMap { case (lang, corpus) =>
+      seedCounts(corpus)._1.toSeq.sorted.map { case (g, c) => s"('$lang','$g',$c)" }
+    }
+    val ssqRows = langs.map { case (lang, corpus) =>
+      s"('$lang',${seedCounts(corpus)._2})"
+    }
+    s"""WITH seeds(lang, g, c) AS (VALUES ${seedRows.mkString(",")}),
+       |sq(lang, ssq) AS (VALUES ${ssqRows.mkString(",")}),
+       |norm AS (SELECT doc_id,
+       |  ' ' || trim(regexp_replace(regexp_replace(lower(text), '[^a-z]', ' ', 'g'), ' +', ' ', 'g')) || ' ' AS s
+       |  FROM documents),
+       |tg AS (SELECT doc_id, substr(s, CAST(i AS INT), 3) AS g FROM (
+       |  SELECT doc_id, s, unnest(range(1, len(s) - 1)) AS i
+       |  FROM norm WHERE len(s) >= 3)),
+       |tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+       |dn AS (SELECT doc_id, SUM(c * c) AS dssq FROM tc GROUP BY 1),
+       |sc AS (SELECT tc.doc_id, seeds.lang, SUM(tc.c * seeds.c) AS idot
+       |  FROM tc JOIN seeds USING (g) GROUP BY 1, 2),
+       |scored AS (SELECT sc.doc_id, sc.lang,
+       |    CAST(idot AS DOUBLE) / sqrt(CAST(sq.ssq AS DOUBLE)) AS snorm
+       |  FROM sc JOIN sq USING (lang) WHERE idot > 0),
+       |ranked AS (SELECT doc_id, lang, snorm,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY snorm DESC, lang ASC) AS rn
+       |  FROM scored),
+       |best AS (SELECT r1.doc_id, r1.lang,
+       |    r1.snorm - COALESCE(r2.snorm, 0.0) AS margin
+       |  FROM ranked r1 LEFT JOIN ranked r2 ON r1.doc_id = r2.doc_id AND r2.rn = 2
+       |  WHERE r1.rn = 1)
+       |SELECT d.doc_id,
+       |  COALESCE(b.lang, 'und') AS det_lang,
+       |  COALESCE(b.margin / sqrt(CAST(dn.dssq AS DOUBLE)), 0.0) AS det_conf
+       |FROM documents d LEFT JOIN dn USING (doc_id)
+       |  LEFT JOIN best b ON d.doc_id = b.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 }

@@ -48,12 +48,23 @@ object ScalingBench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_LOCAL_DIR=<dir>: root Spark's shuffle/spill scratch there
+    // (e.g. /dev/shm/...). On a real cluster node-local NVMe scratch scales
+    // with node count; this box's one virtio disk does not, and it taxes
+    // exactly the 4N level of the scaling pair (task-attributed
+    // shuffle-write time measured ×5.6 from c2 to c8 on identical bytes) —
+    // tmpfs is the single-box analog of storage that scales with the
+    // cluster (BENCH/BASELINE.md §0, round-4 revision).
+    val b2 = sys.env.get("SPARK_GRAFT_LOCAL_DIR").fold(b) { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      b.config("spark.local.dir", dir)
+    }
     // SPARK_GRAFT_EVENTLOG=<dir>: record the Spark event log so a run can be
     // decomposed post-hoc into task time vs driver-serial gaps (used to
     // attribute the core-count-invariant term in the scaling analysis).
-    val withLog = sys.env.get("SPARK_GRAFT_EVENTLOG").fold(b) { dir =>
+    val withLog = sys.env.get("SPARK_GRAFT_EVENTLOG").fold(b2) { dir =>
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      b.config("spark.eventLog.enabled", "true").config("spark.eventLog.dir", dir)
+      b2.config("spark.eventLog.enabled", "true").config("spark.eventLog.dir", dir)
     }
     val s = withLog.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -86,7 +97,16 @@ object ScalingBench {
     * includes every snapshot write and re-read.
     */
   def snapshotJob(spark: SparkSession, path: String, models: Models): Long = {
-    val root = Files.createTempDirectory("graft_snap")
+    // SPARK_GRAFT_SNAP_ROOT=<dir>: put the per-rep snapshot tables there
+    // (e.g. tmpfs) — the single-box analog of the object store a cluster's
+    // snapshot commits would hit, which scales with the cluster while this
+    // box's one virtual disk does not (see SPARK_GRAFT_LOCAL_DIR above).
+    val root = sys.env.get("SPARK_GRAFT_SNAP_ROOT") match {
+      case Some(dir) =>
+        Files.createDirectories(java.nio.file.Paths.get(dir))
+        Files.createTempDirectory(java.nio.file.Paths.get(dir), "graft_snap")
+      case None => Files.createTempDirectory("graft_snap")
+    }
     try {
       val pages = spark.read.parquet(path).select("url", "warc_ts", "html", "text", "lang")
       val labeled = graft.cascade.ResumableCascade.run(spark, pages,

@@ -253,6 +253,48 @@ object SparkEntry {
       graft.io.TableIO.read(s, out, "labeled").orderBy("doc_id")
     }),
 
+    // Multi-batch streaming twin: the corpus split into TWO file-source
+    // micro-batches (maxFilesPerTrigger = 1 over two slice files), each
+    // running the complete cascade and committing its own TableIO snapshot —
+    // the hard gate that "one micro-batch = one neighborhood-statistics
+    // window" (batch boundary = statistics boundary). The oracle is two
+    // independent per-slice DuckDB cascade runs unioned, so rows+schema+hash
+    // parity proves the per-batch statistics isolation, not just row counts.
+    "q_stream_batches" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val out = java.nio.file.Files.createTempDirectory("stream_batches").toString
+      val docs = Docs.read(s, dir)
+      val inDir = java.nio.file.Paths.get(out, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      Seq(0, 1).foreach { par =>
+        val stage = s"$out/stage$par"
+        docs.filter(pmod(col("doc_id"), lit(2)) === par).coalesce(1)
+          .write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath, inDir.resolve(s"b$par.parquet"))
+      }
+      val src = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      val q = graft.streaming.StreamingFilter
+        .microBatchCascade(Docs.pagesFrom(src), docCfg) { (labeled, _) =>
+          graft.io.TableIO.write(
+            labeled.select(col("doc_id"), col(Cols.Dqc).cast("int").as("dqc"),
+              col(Cols.KeepCol).as("keep")),
+            out, "labeled")
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$out/ckpt")
+        .start()
+      q.awaitTermination()
+      // one committed snapshot per micro-batch; union them by snapshot id
+      // (TableIO time travel) — disjoint slices, so order is irrelevant
+      val m = graft.io.TableIO.readManifest(out, "labeled")
+        .getOrElse(throw new IllegalStateException("no snapshots committed"))
+      m.snapshots.map(sn => graft.io.TableIO.read(s, out, "labeled", Some(sn.id)))
+        .reduce(_.unionByName(_)).orderBy("doc_id")
+    }),
+
     // ---- text-analysis operators (feature pass; SURVEY.md §2.3 spatconv analog) ----
     // the feature pass through the native single-pass TextStatsExpr (the
     // exact path the cascade runs); the oracle keeps the built-in formulas,
@@ -493,14 +535,21 @@ object SparkEntry {
           sum(round(col("value") * lit(100)).cast("bigint")).as("value_cents"))
         .orderBy("event_type", "day")),
 
-    // ---- model-based operators (no SQL oracle: rows-only gate; verified
-    // by the FixtureF1Spec F1 gates instead) ----
+    // langid over the seed-profile model in its exact-integer-scoring form
+    // (LangId.detectExact — same trigrams, same profiles, same cosine
+    // geometry as the cascade's detect; the scoring is reformulated onto
+    // exact integers + a pinned IEEE op chain precisely so the row has a
+    // hard rows+schema+hash DuckDB oracle, OracleSql.qLangIdExact.
+    // FeatureSpec pins argmax agreement between the two scoring forms).
     "q_langid" -> ((s, dir) => {
-      val det = udf((t: String) => graft.ml.LangId.default.detect(t))
+      val det = udf((t: String) => graft.ml.LangId.detectExact(t))
       Docs.read(s, dir).select(col("doc_id"), det(col("text")).as("det"))
         .select(col("doc_id"), col("det._1").as("det_lang"), col("det._2").as("det_conf"))
         .orderBy("doc_id")
     }),
+
+    // ---- model-based operators (no SQL oracle: rows-only gate; verified
+    // by the FixtureF1Spec F1 gates instead) ----
     "q_cascade_full" -> ((s, dir) => {
       val pages = Docs.pages(s, dir)
       val models = trainedModels(s, dir)
@@ -537,6 +586,12 @@ object SparkEntry {
     // oracle applies verbatim (rows+schema+hash parity is the gate that the
     // streaming path introduces no semantic drift)
     "q_stream_cascade"     -> OracleSql.qCascade(docCfg),
+    // two micro-batches = two independent per-slice cascades (statistics
+    // windows are batch-local by design); the oracle runs each slice's full
+    // cascade separately and unions
+    "q_stream_batches"     -> OracleSql.qCascadeSliced(docCfg,
+      Seq("doc_id % 2 = 0", "doc_id % 2 = 1")),
+    "q_langid"             -> OracleSql.qLangIdExact,
     "q_text_stats" ->
       s"""SELECT doc_id, ${OracleSql.nc} AS f_nchars, ${OracleSql.nw} AS f_nwords,
          |${OracleSql.mwl} AS f_mwl, ${OracleSql.symr} AS f_symr,

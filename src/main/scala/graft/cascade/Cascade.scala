@@ -36,11 +36,45 @@ object Cascade {
       case _           => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     }
 
+  /** Per-run registry of the checkpoint RDD ids THIS run created — the
+    * sweep scope of [[run]]/[[iterate]]. The previous scope (everything
+    * registered on the shared SparkContext after the run's baseline) would
+    * unpersist blocks a CONCURRENT query, streaming micro-batch, or second
+    * cascade run registered mid-run; tracking only ids observed around this
+    * run's own localCheckpoint calls confines the sweep to blocks the run
+    * provably created. (Residual exposure: a foreign registration landing
+    * inside one of our own localCheckpoint calls — a window of a single
+    * `persist` call, not the whole run.)
+    */
+  private[graft] final class RunTracker {
+    private val set = scala.collection.mutable.LinkedHashSet.empty[Int]
+    def record(ids: Iterable[Int]): Unit = synchronized { set ++= ids }
+    def remove(ids: Iterable[Int]): Unit = synchronized { set --= ids }
+    def snapshot: Set[Int] = synchronized { set.toSet }
+  }
+
+  /** The active run's tracker (thread-local: a cascade run builds its whole
+    * plan on one driver thread). [[materialize]] records into it, so the
+    * per-group stats checkpoints Neighborhood.joinReady/groupStats create
+    * while a stage plan is BUILT are captured too.
+    */
+  private[graft] val runTracker =
+    new scala.util.DynamicVariable[Option[RunTracker]](None)
+
   /** Materialize a stage input (lazy local checkpoint); storage level per
-    * [[ckptLevel]]. (Cluster form: ResumableCascade snapshots.)
+    * [[ckptLevel]]. (Cluster form: ResumableCascade snapshots.) Records the
+    * registered RDD ids into the active [[RunTracker]], if any.
     */
   def materialize(df: DataFrame, eager: Boolean = false): DataFrame =
-    df.localCheckpoint(eager, ckptLevel)
+    runTracker.value match {
+      case None => df.localCheckpoint(eager, ckptLevel)
+      case Some(t) =>
+        val sc = df.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet.toSet
+        val c = df.localCheckpoint(eager, ckptLevel)
+        t.record(sc.getPersistentRDDs.keySet.toSet.diff(before))
+        c
+    }
 
   /** One cascade stage. `selfRef` marks the self-join shape — the stage
     * aggregates statistics over its input and joins them back, so it scans
@@ -66,29 +100,36 @@ object Cascade {
              (once: DataFrame => DataFrame): DataFrame = {
     if (maxIter <= 1) return once(df)
     val sc = df.sparkSession.sparkContext
-    var cur = df
-    var prevIds: Set[Int] = Set.empty
-    var prevFlagged = 0L
-    var i = 0
-    var converged = false
-    while (i < maxIter && !converged) {
-      // track the round's blocks (the checkpoint plus any per-group stats
-      // checkpoints `once` registered while building) and release the
-      // PREVIOUS round's as soon as the new round is materialized — a
-      // 4-round iteration otherwise keeps four full light-corpus
-      // checkpoints pinned until the next stage-level sweep
-      val before = sc.getPersistentRDDs.keySet.toSet
-      cur = materialize(once(cur), eager = true)
-      val added = sc.getPersistentRDDs.keySet.toSet.diff(before)
-      prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      prevIds = added
-      val flagged = cur.filter(col(Dqc) === code).count()
-      val fresh = flagged - prevFlagged
-      prevFlagged = flagged
-      i += 1
-      converged = fresh <= breakAt
+    // scope the per-round sweep to ids THIS iteration created (standalone
+    // callers get a fresh tracker; inside Cascade.run the run's tracker is
+    // reused so the run-level sweep sees the leftovers too)
+    val tracker = runTracker.value.getOrElse(new RunTracker)
+    runTracker.withValue(Some(tracker)) {
+      var cur = df
+      var prevIds: Set[Int] = Set.empty
+      var prevFlagged = 0L
+      var i = 0
+      var converged = false
+      while (i < maxIter && !converged) {
+        // track the round's blocks (the checkpoint plus any per-group stats
+        // checkpoints `once` registered while building) and release the
+        // PREVIOUS round's as soon as the new round is materialized — a
+        // 4-round iteration otherwise keeps four full light-corpus
+        // checkpoints pinned until the next stage-level sweep
+        val before = tracker.snapshot
+        cur = materialize(once(cur), eager = true)
+        val added = tracker.snapshot.diff(before)
+        prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+        tracker.remove(prevIds)
+        prevIds = added
+        val flagged = cur.filter(col(Dqc) === code).count()
+        val fresh = flagged - prevFlagged
+        prevFlagged = flagged
+        i += 1
+        converged = fresh <= breakAt
+      }
+      cur
     }
-    cur
   }
 
   /** The ordered stage list for a config. Order mirrors titan.r:115-257:
@@ -196,6 +237,35 @@ object Cascade {
 
   private val wideLight: Boolean = sys.env.contains("SPARK_GRAFT_WIDE_LIGHT")
 
+  /** Group-key dictionary encoding for the light working set: `domain` and
+    * `lang` travel as null-preserving xxhash64 codes (one 8-byte fixed slot
+    * each) instead of strings (8-byte slot + padded bytes) through every
+    * post-prefix checkpoint/snapshot and stats scan — bytes/row of the
+    * iterated working set is the single-box DRAM-roofline currency
+    * (BENCH/BASELINE.md §1). The post-prefix stages only ever GROUP and
+    * JOIN on these columns (equal strings ↔ equal hashes; null stays null,
+    * so null keys still never match an equi-join), and the one value
+    * comparison (fgt's per-language background lookup) hashes its literals
+    * to match. The original strings ride the payload and rejoin at the end,
+    * so caller-visible output is unchanged. Collision risk: two domains
+    * colliding on xxhash64 would merge their neighborhood statistics —
+    * expected colliding PAIRS at 10⁸ domains ≈ (10⁸)²/2⁶⁵ ≈ 3·10⁻⁴, i.e.
+    * none, and the consequence is a slightly-blended stat, not corruption
+    * (the url already travels as xxhash64 under the same argument).
+    * SPARK_GRAFT_NO_KEYCODE=1 restores string keys for A/Bs.
+    */
+  private val keyCode: Boolean = !sys.env.contains("SPARK_GRAFT_NO_KEYCODE")
+
+  private[cascade] def encodedKeyCols(cfg: graft.model.CascadeConfig,
+                                      outCols: Seq[String]): Seq[String] =
+    if (!keyCode) Nil
+    else Seq(Domain, Lang).filter(c => outCols.contains(c) && workingCol(cfg)(c))
+
+  private[cascade] def encodeKeys(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c,
+        when(col(c).isNull, lit(null).cast("long")).otherwise(xxhash64(col(c)))))
+
   /** Payload split on/off (default on); SPARK_GRAFT_PAYLOAD_SPLIT=off
     * restores the carry-everything behavior for A/Bs.
     */
@@ -229,29 +299,30 @@ object Cascade {
           models: Option[Models] = None,
           pseudoTexts: Seq[String] = Nil): DataFrame = {
     // Each selfRef stage's input is eagerly checkpointed (so its two scans
-    // share one computation), and everything this run registered that the
+    // share one computation), and everything this run created that the
     // new leaf supersedes — the previous stage's checkpoint, iterate-round
     // leftovers, the per-group stats checkpoints groupStats/joinReady
-    // created while the stage plan was BUILT (those register between
-    // materializations, so a window diff never sees them) — is unpersisted
-    // immediately after the leaf materializes. Without this, blocks stay
-    // pinned until driver GC and a long cascade over millions of rows turns
-    // into an eviction storm. Sweep scope: RDDs registered after this run
-    // started and not explicitly protected; callers' pre-existing caches
-    // are outside the baseline and never touched.
+    // created while the stage plan was BUILT — is unpersisted immediately
+    // after the leaf materializes. Without this, blocks stay pinned until
+    // driver GC and a long cascade over millions of rows turns into an
+    // eviction storm. Sweep scope: ONLY ids recorded by this run's own
+    // materialize calls ([[RunTracker]]); concurrent queries', streaming
+    // jobs', or callers' caches — whenever registered — are never touched.
     val sc = pages.sparkSession.sparkContext
-    val baseline = sc.getPersistentRDDs.keySet.toSet
+    val tracker = new RunTracker
+    runTracker.withValue(Some(tracker)) {
     var protectedIds: Set[Int] = Set.empty
     def matTracked(d: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet.toSet
+      val before = tracker.snapshot
       val c = materialize(d, eager = true)
-      (c, sc.getPersistentRDDs.keySet.toSet.diff(before))
+      (c, tracker.snapshot.diff(before))
     }
-    def unpersistIds(ids: Set[Int]): Unit =
+    def unpersistIds(ids: Set[Int]): Unit = {
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      tracker.remove(ids)
+    }
     def sweepExcept(keep: Set[Int]): Unit =
-      unpersistIds(sc.getPersistentRDDs.keySet.toSet
-        .diff(baseline).diff(keep).diff(protectedIds))
+      unpersistIds(tracker.snapshot.diff(keep).diff(protectedIds))
     def ckpt(d: DataFrame): DataFrame = {
       val (c, added) = matTracked(d)
       sweepExcept(added)
@@ -282,7 +353,10 @@ object Cascade {
         val (full, fullIds) = matTracked(prefixed.withColumn(RowId, monotonically_increasing_id()))
         sweepExcept(fullIds) // the ingest-dedup blocks are superseded here
         val outCols = full.columns.filterNot(_ == RowId)
-        val payloadCols = outCols.filterNot(workingCol(cfg))
+        // key-encoded columns live TWICE: hashed in the light set (grouping/
+        // join key) and as strings in the payload (caller-visible output)
+        val encKeys = encodedKeyCols(cfg, outCols.toSeq)
+        val payloadCols = outCols.filterNot(workingCol(cfg)) ++ encKeys
         // fold the remaining stages; index 0 (the first selfRef stage) is
         // already materialized, so only LATER selfRef inputs re-checkpoint
         def foldRest(start: DataFrame): DataFrame =
@@ -302,7 +376,8 @@ object Cascade {
           val payload = full.select((RowId +: payloadCols).map(col): _*)
           protectedIds ++= fullIds // `full` stays pinned: it backs `payload`
           val (light, lightIds) =
-            matTracked(full.select(full.columns.filter(workingCol(cfg)).map(col): _*))
+            matTracked(encodeKeys(
+              full.select(full.columns.filter(workingCol(cfg)).map(col): _*), encKeys))
           sweepExcept(lightIds)
           // measurement hook for the working-set-width A/B (pair with
           // SPARK_GRAFT_WIDE_LIGHT): rows and stored bytes of the light
@@ -316,11 +391,13 @@ object Cascade {
                 bytes.toDouble / math.max(n, 1L)}%.1f B/row, cols=${light.columns.length})")
           }
           foldRest(light)
+            .drop(encKeys: _*) // hashed keys: the string originals rejoin below
             .join(payload, Seq(RowId)) // 1:1 by construction
             .select(outCols.map(col): _*)
         }
       }
     finalDecision(checked)
+    } // runTracker scope
   }
 
   private val observeId = new java.util.concurrent.atomic.AtomicLong()

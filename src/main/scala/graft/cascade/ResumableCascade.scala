@@ -53,6 +53,19 @@ object ResumableCascade {
     val firstSelf = stages.indexWhere(_.selfRef)
     val splitAt = if (firstSelf < 0) stages.length else firstSelf
     import Cascade.RowId
+    // per-run tracker (Cascade.RunTracker): the per-group stats checkpoints
+    // a selfRef stage creates while its plan is built are dead the moment
+    // the stage's snapshot commits — reap them per stage instead of letting
+    // them pile up across the ~18-stage chain. Scope is ids THIS run
+    // created, never a concurrent run's blocks.
+    val tracker = new Cascade.RunTracker
+    val sc = spark.sparkContext
+    def reapRun(): Unit = {
+      val ids = tracker.snapshot
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      tracker.remove(ids)
+    }
+    Cascade.runTracker.withValue(Some(tracker)) {
 
     // ---- prefix: ingest + the whole row-local chain, committed ONCE with
     // the payload columns and the reattach id. Written before any light
@@ -70,7 +83,10 @@ object ResumableCascade {
     }
     val prefixDf = TableIO.read(spark, root, PrefixTable)
     val outCols = prefixDf.columns.filterNot(_ == RowId)
-    val payloadCols = outCols.filterNot(Cascade.workingCol(cfg))
+    // key-encoded grouping columns (Cascade.encodeKeys): hashed in every
+    // light stage snapshot, re-joined as strings from the prefix at the end
+    val encKeys = Cascade.encodedKeyCols(cfg, outCols.toSeq)
+    val payloadCols = outCols.filterNot(Cascade.workingCol(cfg)) ++ encKeys
 
     // ---- light stage chain: resume from the greatest committed stage
     val lastDone = (splitAt until stages.length).reverse
@@ -78,7 +94,9 @@ object ResumableCascade {
     var light = lastDone match {
       case Some(i) => TableIO.read(spark, root, stageTable(i, stages(i).code))
       // columnar projection: the text bytes stay on disk
-      case None => prefixDf.select(prefixDf.columns.filter(Cascade.workingCol(cfg)).map(col): _*)
+      case None => Cascade.encodeKeys(
+        prefixDf.select(prefixDf.columns.filter(Cascade.workingCol(cfg)).map(col): _*),
+        encKeys)
     }
     val startAt = lastDone.map(_ + 1).getOrElse(splitAt)
     var committed = 0
@@ -89,6 +107,7 @@ object ResumableCascade {
       // stage's two stats scans each read the pruned columnar snapshot
       TableIO.write(stages(i).f(light), root, stageTable(i, code))
       light = TableIO.read(spark, root, stageTable(i, code))
+      reapRun() // the stage's build-time stats checkpoints are committed now
       committed += 1
     }
     if (committed >= stopAfterStages) return light // simulated mid-run kill
@@ -97,11 +116,14 @@ object ResumableCascade {
     val joined =
       if (payloadCols.isEmpty) light.drop(RowId)
       else light
+        .drop(encKeys: _*) // hashed keys: the string originals rejoin here
         .join(prefixDf.select((RowId +: payloadCols.toSeq).map(col): _*), Seq(RowId))
         .select(outCols.map(col): _*)
     val labeled = Cascade.finalDecision(joined)
     TableIO.write(labeled, root, "pages_labeled")
     TableIO.write(Cascade.metrics(labeled), root, "metrics")
+    reapRun()
     TableIO.read(spark, root, "pages_labeled")
+    } // runTracker scope
   }
 }

@@ -53,8 +53,25 @@ object TableIO {
   def currentSnapshot(root: String, name: String): Option[Long] =
     readManifest(root, name).map(_.current).filter(_ >= 0)
 
-  /** Append a new snapshot: write data, then commit by atomic manifest
-    * rename. Returns the committed snapshot id.
+  /** Thrown when a commit loses the optimistic-concurrency race: another
+    * writer committed the same successor snapshot id first (Iceberg's
+    * CommitFailedException analog). The loser's data files are uncommitted
+    * and reclaimed by [[vacuum]]; the caller may re-read and retry.
+    */
+  final class CommitConflictException(msg: String) extends IllegalStateException(msg)
+
+  /** Append a new snapshot: write data, then commit — compare-and-swap on
+    * the expected parent snapshot, then atomic manifest rename. Returns the
+    * committed snapshot id.
+    *
+    * The CAS is an exclusive-create of `commits/<id>` (CREATE_NEW is atomic
+    * on POSIX): two concurrent writers that both read parent snapshot id−1
+    * both target id, exactly one wins the marker, and the loser throws
+    * [[CommitConflictException]] instead of silently absorbing the winner's
+    * snapshot into its own manifest — Iceberg's optimistic-concurrency
+    * commit semantics, which the previous last-rename-wins commit did not
+    * honor. The manifest rename stays atomic, so readers still never see a
+    * partial commit.
     */
   def write(df: DataFrame, root: String, name: String): Long = {
     val prev = readManifest(root, name).getOrElse(Manifest(-1L, Nil))
@@ -64,6 +81,15 @@ object TableIO {
     val rows = df.sparkSession.read.parquet(dataDir.toString).count()
     val next = Manifest(id, prev.snapshots :+ Snapshot(id, rows))
     Files.createDirectories(manifestPath(root, name).getParent)
+    val commitDir = tableDir(root, name).resolve("commits")
+    Files.createDirectories(commitDir)
+    try Files.createFile(commitDir.resolve(s"s$id")) // atomic CAS on the id
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"table $name: snapshot $id already committed by a concurrent writer " +
+            s"(expected parent ${prev.current}); re-read the manifest and retry")
+    }
     val tmp = manifestPath(root, name).resolveSibling(s"manifest.json.tmp$id")
     Files.write(tmp, render(next).getBytes("UTF-8"))
     Files.move(tmp, manifestPath(root, name),
@@ -93,7 +119,10 @@ object TableIO {
     }
   }
 
-  /** Drop uncommitted data dirs (recovery after a kill mid-write). */
+  /** Drop uncommitted data dirs and orphaned commit markers (recovery after
+    * a kill between the CAS marker and the manifest rename — the marker
+    * without a committed snapshot would otherwise block that id forever).
+    */
   def vacuum(root: String, name: String): Unit = {
     val m = readManifest(root, name).getOrElse(Manifest(-1L, Nil))
     val committed = m.snapshots.map(s => s"s${s.id}").toSet
@@ -102,6 +131,12 @@ object TableIO {
       Files.list(dd).iterator().asScala
         .filterNot(p => committed.contains(p.getFileName.toString))
         .foreach(deleteRecursively)
+    }
+    val cd = tableDir(root, name).resolve("commits")
+    if (Files.exists(cd)) {
+      Files.list(cd).iterator().asScala
+        .filterNot(p => committed.contains(p.getFileName.toString))
+        .foreach(p => Files.deleteIfExists(p))
     }
   }
 

@@ -218,4 +218,74 @@ object LangId {
   /** The default model, built once per JVM from the seed corpora. */
   lazy val default: LangIdModel =
     LangIdModel(seeds.map { case (lang, corpus) => lang -> profile(corpus) })
+
+  // ---- exact-integer scoring form (oracle-gated twin of `detect`) ----
+
+  /** Integer trigram counts of a text (same normalization + enumeration as
+    * [[trigramKeys]]): sorted packed keys → (keys, counts, Σc²). Null when
+    * the text has no letters.
+    */
+  private[ml] def trigramCounts(text: String): (Array[Int], Array[Long], Long) = {
+    val keys = trigramKeys(text)
+    if (keys == null || keys.length == 0) return null
+    java.util.Arrays.sort(keys)
+    val ks = new Array[Int](keys.length)
+    val cs = new Array[Long](keys.length)
+    var n = 0; var ssq = 0L; var i = 0
+    while (i < keys.length) {
+      val g = keys(i); var c = 1L
+      while (i + 1 < keys.length && keys(i + 1) == g) { c += 1; i += 1 }
+      ks(n) = g; cs(n) = c; n += 1; ssq += c * c
+      i += 1
+    }
+    (java.util.Arrays.copyOf(ks, n), java.util.Arrays.copyOf(cs, n), ssq)
+  }
+
+  /** Per-language integer seed statistics: (lang, packed-trigram → count,
+    * Σc²), langs sorted. The raw-count form of the [[default]] profiles —
+    * integer dots against it are exact, which is what lets the scoring be
+    * mirrored bit-for-bit in SQL ([[OracleSql.qLangIdExact]]).
+    */
+  lazy val exactSeedStats: Seq[(String, Map[Int, Long], Long)] =
+    seeds.toSeq.sortBy(_._1).map { case (lang, corpus) =>
+      val (ks, cs, ssq) = trigramCounts(corpus)
+      (lang, ks.zip(cs).toMap, ssq)
+    }
+
+  /** Exact-arithmetic language detection over the seed profiles — the same
+    * model as [[LangIdModel.detect]] (same trigrams, same seed corpora, same
+    * cosine geometry) with the scoring reformulated so every intermediate is
+    * either an exact integer or a fixed short chain of IEEE ops, mirrorable
+    * bit-for-bit in SQL: per language, idot = Σ c_doc·c_seed (exact long),
+    * s = idot / sqrt(Σc²_seed); winner = max s (ties → first language in
+    * sorted order); confidence = (s₁ − s₂) / sqrt(Σc²_doc). Ordering by s is
+    * ordering by cosine (the doc norm divides every language equally), so
+    * the argmax agrees with `detect` up to float-roundoff ties; the margins
+    * differ only by the scoring-order reformulation. FeatureSpec pins
+    * argmax agreement on the fixture corpus.
+    */
+  def detectExact(text: String): (String, Double) = {
+    if (text == null || text.isEmpty) return ("und", 0.0)
+    val tc = trigramCounts(text)
+    if (tc == null) return ("und", 0.0)
+    val (ks, cs, docSsq) = tc
+    var best = "und"; var bestS = 0.0; var second = 0.0
+    exactSeedStats.foreach { case (lang, seedCounts, seedSsq) =>
+      var idot = 0L; var i = 0
+      while (i < ks.length) {
+        seedCounts.get(ks(i)) match {
+          case Some(c) => idot += cs(i) * c
+          case None    =>
+        }
+        i += 1
+      }
+      if (idot > 0) {
+        val s = idot.toDouble / math.sqrt(seedSsq.toDouble)
+        if (s > bestS) { second = bestS; bestS = s; best = lang }
+        else if (s > second) second = s
+      }
+    }
+    if (bestS <= 0.0) ("und", 0.0)
+    else (best, (bestS - second) / math.sqrt(docSsq.toDouble))
+  }
 }

@@ -150,16 +150,26 @@ object Multimodal {
       .select(col(idCol), col("col.frame_no").as("frame_no"),
         col("col.offset").as("offset"), col("col.chunk").as("chunk"))
     val perFrame = frames.withColumn("feat", decodeFeaturesStub(col("chunk"), dims))
+    frameMean(perFrame, idCol, "feat", dims)
+  }
+
+  /** Element-wise mean of a per-frame feature column, reassembled per doc:
+    * one aggregation of zipped arrays. The mean divides by the COLLECTED
+    * frame count, not a nominal frames-per-doc constant: a payload yielding
+    * fewer frames than requested (however the sampler evolves) must not
+    * silently bias the mean toward zero.
+    */
+  def frameMean(perFrame: DataFrame, idCol: String, featCol: String,
+                dims: Int): DataFrame =
     perFrame
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).cast("int").as("n_frames"),
-        // element-wise mean over frames: aggregate of zipped arrays
-        transform(
-          aggregate(
-            collect_list(col("feat")),
-            array((0 until dims).map(_ => lit(0.0)): _*),
-            (acc, x) => zip_with(acc, x, (a, b) => a + b)),
-          v => v / lit(nFrames.toDouble)).as("embedding"))
-  }
+        aggregate(
+          collect_list(col(featCol)),
+          array((0 until dims).map(_ => lit(0.0)): _*),
+          (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("_featsum"))
+      .withColumn("embedding",
+        transform(col("_featsum"), v => v / col("n_frames").cast("double")))
+      .drop("_featsum")
 }

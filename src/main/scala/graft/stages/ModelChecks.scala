@@ -187,12 +187,20 @@ object ModelChecks {
 
   private def fgtOnce(df: DataFrame, p: graft.model.FgtParams,
                       models: Models): DataFrame = {
+    // under the payload split the light frame carries `lang` key-encoded as
+    // xxhash64 (Cascade.encodeKeys); hash the per-language literals to match
+    // (xxhash64 of a literal constant-folds, so the comparison stays a
+    // codegen'd long equality). String frames keep string literals.
+    val langEncoded =
+      df.schema(Lang).dataType == org.apache.spark.sql.types.LongType
+    def langLit(lang: String): Column =
+      if (langEncoded) xxhash64(lit(lang)) else lit(lang)
     val votes: Column = models.pplStats.zipWithIndex.map { case (stats, i) =>
       val mean = stats.foldLeft(lit(Double.NaN)) { case (acc, (lang, (m, _))) =>
-        when(col(Lang) === lang, lit(m)).otherwise(acc)
+        when(col(Lang) === langLit(lang), lit(m)).otherwise(acc)
       }
       val sd = stats.foldLeft(lit(Double.NaN)) { case (acc, (lang, (_, s))) =>
-        when(col(Lang) === lang, lit(math.max(s, p.sdFloor))).otherwise(acc)
+        when(col(Lang) === langLit(lang), lit(math.max(s, p.sdFloor))).otherwise(acc)
       }
       when(abs(col(s"$LogPpl$i") - mean) > lit(p.z) * sd, lit(1)).otherwise(lit(0))
     }.reduce(_ + _)
@@ -233,9 +241,9 @@ object ModelChecks {
     // never be consulted. The checkpoint makes the aggregate compute once;
     // its measured cardinality picks the join-back form downstream
     // (Neighborhood.statsJoinForm via groupStats' precomputedCap count).
-    val domCounts = df.filter(Stage.referenceEligible)
-      .groupBy(col(Domain)).agg(count(lit(1)).as("_gnr"))
-      .localCheckpoint(false)
+    val domCounts = graft.cascade.Cascade.materialize(
+      df.filter(Stage.referenceEligible)
+        .groupBy(col(Domain)).agg(count(lit(1)).as("_gnr")))
     val domains = domCounts.select(col(Domain))
     val pseudoBase = domains.crossJoin(
       broadcast(pseudoTexts.zipWithIndex.toDF("_ptext", "_pidx")))
@@ -249,7 +257,11 @@ object ModelChecks {
       // unionByName would re-introduce a null text column into the cascade
       // working set and collide with the payload reattach (Cascade.run)
       .drop(Text)
-      .withColumn(Lang, lit(null).cast("string"))
+      // match the caller's lang type: under the payload split the light
+      // frame carries lang key-encoded as long (Cascade.encodeKeys), and a
+      // string-typed null here would coerce the whole union column back to
+      // string. Null semantics are identical either way.
+      .withColumn(Lang, lit(null).cast(df.schema(Lang).dataType))
       .withColumn(Doit, lit(2))
       .withColumn(Prio, lit(0))
       .withColumn(Dqc, lit(null).cast("int"))

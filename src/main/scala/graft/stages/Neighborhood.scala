@@ -59,8 +59,8 @@ object Neighborhood {
     // block-metadata scan, not a corpus pass).
     val capCounts = cfg.maxRefsPerGroup.map { _ =>
       precomputedCap.getOrElse(
-        df.filter(refFilter).groupBy(keyCols: _*).agg(count(lit(1)).as("_gn"))
-          .localCheckpoint(false))
+        graft.cascade.Cascade.materialize(
+          df.filter(refFilter).groupBy(keyCols: _*).agg(count(lit(1)).as("_gn"))))
     }
     // the measured group-dimension cardinality — one tiny count over the
     // checkpointed cap table; drives every join-form decision below
@@ -82,10 +82,18 @@ object Neighborhood {
         sum(xl).as("_ps"),
         sum(xl * xl).as("_pq"),
         count(xl).as("_pn"))
+    // _n == 0 groups (present in df but with no reference-eligible row) are
+    // dropped: the left join back yields nulls for them, which every
+    // consumer's null-guarded math treats exactly like a present-but-empty
+    // stats row — and keeping them would let the broadcast table silently
+    // outgrow the measured ELIGIBLE-group cardinality that statsJoinForm's
+    // driver-OOM guard is based on (a heavily-flagged corpus can have far
+    // more domains than reference-eligible domains).
     val merged = partial.groupBy(keyCols: _*).agg(
       sum("_ps").as("_s"),
       sum("_pq").as("_q"),
       sum("_pn").as("_n"))
+      .filter(col("_n") > 0)
     // capped mode: carry the pre-cap group size so consumers can re-derive
     // per-row whether THIS row was sampled (LOO terms must only subtract
     // contributions that are actually inside the sampled statistics)
@@ -136,7 +144,7 @@ object Neighborhood {
     * with the stage's own materialization.
     */
   private[stages] def joinReady(stats: DataFrame, cfg: CascadeConfig): DataFrame = {
-    val ck = stats.localCheckpoint(false)
+    val ck = graft.cascade.Cascade.materialize(stats)
     statsJoinForm(ck, ck.count(), cfg)
   }
 
@@ -357,18 +365,22 @@ object Neighborhood {
       case Some(p) => Stage.referenceEligible && col(Prio) >= p
       case None    => Stage.referenceEligible
     }
-    val os = joinReady(
-      centralOrderStats(df, Seq(Domain), col(NWords), alive), cfg)
-    val withOs = df.join(os, Seq(Domain), "left")
+    // ONE fused stats pass: the value order statistics AND the deviation
+    // MAD come out of a single histogram aggregation ([[sctStats]]), so the
+    // round costs one corpus scan, one checkpoint+count, one join — the
+    // reference likewise computes all of a round's elaborations in one
+    // kernel call (sct_resistant.r:158-188). The previous two-pass shape
+    // (order stats, join, deviation order stats over the joined corpus,
+    // second join) doubled the stats scans and its second histogram was a
+    // full corpus aggregation.
+    val os = joinReady(sctStats(df, Seq(Domain), col(NWords), alive), cfg)
+    val joined = df.join(os, Seq(Domain), "left")
 
     val x  = col(NWords).cast("long")
     val n  = col("_n")
     val m0 = col("_m0"); val m1 = col("_m1"); val m2 = col("_m2")
     def half(a: Column, b: Column): Column = (a + b).cast("double") / 2.0
     val even = pmod(n, lit(2)) === 0
-    // population median (quantile_cont): ranks ⌊(n−1)/2⌋, ⌊n/2⌋ = (m0,m1)
-    // for even n, (m1,m1) for odd n
-    val popMedLoHiSum = when(even, m0 + m1).otherwise(m1 + m1) // = 2·popMedian, integral
     // leave-one-out median of the alive group, per checked row
     val looMed = when(even, when(x <= m0, m1.cast("double")).otherwise(m0.cast("double")))
       .otherwise(
@@ -376,23 +388,83 @@ object Neighborhood {
           .when(x >= m2, half(m0, m1))
           .otherwise(half(m0, m2)))
 
-    // MAD pass: 2·|x − popMedian| is integral, so the same exact histogram
-    // machinery applies; MAD = (d2lo + d2hi)/4 matches quantile_cont of the
-    // half-integer deviations exactly (divisions by powers of two are exact)
-    val d2 = abs(x * 2 - popMedLoHiSum)
-    val madOs = centralOrderStats(withOs, Seq(Domain), d2, alive)
-    val madLoHiSum = when(pmod(col("_n"), lit(2)) === 0, col("_m0") + col("_m1"))
-      .otherwise(col("_m1") + col("_m1"))
-    val mad = joinReady(
-      madOs.select(col(Domain), madLoHiSum.cast("double").divide(lit(4.0)).as("_mad")), cfg)
-    val joined = withOs.join(mad, Seq(Domain), "left")
-
     val dev  = abs(x.cast("double") - looMed)
     val z    = when(col("_mad") > 0, dev / (lit(1.4826) * col("_mad")))
     val inClass = prioClass.map(p => col(Prio) === p).getOrElse(lit(true))
     val fail = inClass && (n - 1) >= params.minN && col("_mad") > 0.0 && z > params.z
     Stage.sticky(joined, fail, FlagCodes.Sct, flagsKeep = false)
       .drop("_m0", "_m1", "_m2", "_n", "_mad")
+  }
+
+  /** Fused sct statistics: per group, the three central value order
+    * statistics (_m0,_m1,_m2 at 0-based ranks L,L+1,L+2, L = ⌊(n−2)/2⌋),
+    * the alive count _n, AND the MAD (_mad) — all from ONE (keys, value)
+    * histogram aggregation. The deviation multiset {|2v − 2·popMedian|}
+    * needed for the MAD is derived from the SAME per-group histogram (each
+    * distinct value v with count c contributes deviation |2v − popSum| with
+    * count c), re-sorted and rank-walked as array expressions — no second
+    * corpus scan, no second join. All arithmetic stays on longs until the
+    * final /4.0, so the result is bit-identical to the two-pass form (and
+    * to the DuckDB oracle). Per-group state is bounded by the number of
+    * DISTINCT values, as in [[centralOrderStats]].
+    */
+  private[stages] def sctStats(df: DataFrame, keys: Seq[String], x: Column,
+                               alive: Column): DataFrame = {
+    val keyCols = keys.map(col)
+    val v = when(alive, x.cast("long"))
+    val hist = df.groupBy(keyCols :+ v.as("_v"): _*).agg(count(v).as("_c"))
+      .filter(col("_c") > 0)
+    val g = hist.groupBy(keyCols: _*).agg(
+      sort_array(collect_list(struct(col("_v"), col("_c")))).as("_h"),
+      sum("_c").as("_n"))
+    val rank0 = floor((col("_n") - lit(2)).cast("double") / 2.0).cast("long")
+    def walk3(arr: Column, vField: String, cField: String) =
+      aggregate(arr,
+        struct(lit(0L).as("cum"),
+          lit(null).cast("long").as("m0"),
+          lit(null).cast("long").as("m1"),
+          lit(null).cast("long").as("m2")),
+        (acc, e) => {
+          val cum2 = acc.getField("cum") + e.getField(cField)
+          def pick(cur: Column, rk: Column) =
+            when(cur.isNull && cum2 > rk, e.getField(vField)).otherwise(cur)
+          struct(cum2.as("cum"),
+            pick(acc.getField("m0"), rank0).as("m0"),
+            pick(acc.getField("m1"), rank0 + 1).as("m1"),
+            pick(acc.getField("m2"), rank0 + 2).as("m2"))
+        })
+    val even = pmod(col("_n"), lit(2)) === 0
+    // Each walk is aliased into its own projection layer so it evaluates
+    // ONCE per group: a higher-order-function expression referenced from
+    // several output columns — or worse, from inside a downstream lambda —
+    // is re-evaluated per reference (per ELEMENT, for a lambda capture;
+    // lambda expressions get no codegen CSE, the RepetitionExpr lesson),
+    // turning the walk quadratic in distinct-value count. CollapseProject
+    // keeps the layers separate exactly because the aliases are non-cheap
+    // and multiply-referenced.
+    val g1 = g.select(keyCols ++ Seq(col("_h"), col("_n"),
+      walk3(col("_h"), "_v", "_c").as("_w")): _*)
+    // 2·popMedian (quantile_cont ranks ⌊(n−1)/2⌋,⌊n/2⌋ = (m0,m1) even /
+    // (m1,m1) odd), integral by construction
+    val popSum = when(even,
+      col("_w.m0") + col("_w.m1")).otherwise(col("_w.m1") + col("_w.m1"))
+    val g2 = g1.select(keyCols ++ Seq(col("_h"), col("_n"), col("_w"),
+      popSum.as("_ps")): _*)
+    // deviation histogram from the value histogram: |2v − popSum| keeps the
+    // arithmetic integral; struct sort on (_d,_c) orders by deviation (the
+    // intra-deviation count order is irrelevant to a cumulative rank walk)
+    val devs = sort_array(transform(col("_h"), e =>
+      struct(abs(e.getField("_v") * 2 - col("_ps")).as("_d"), e.getField("_c").as("_c"))))
+    val g3 = g2.select(keyCols ++ Seq(col("_n"), col("_w"),
+      walk3(devs, "_d", "_c").as("_dw")): _*)
+    val madSum = when(even,
+      col("_dw.m0") + col("_dw.m1")).otherwise(col("_dw.m1") + col("_dw.m1"))
+    g3.select(keyCols ++ Seq(
+      col("_w.m0").as("_m0"),
+      col("_w.m1").as("_m1"),
+      col("_w.m2").as("_m2"),
+      col("_n").as("_n"),
+      madSum.cast("double").divide(lit(4.0)).as("_mad")): _*)
   }
 
   /** sct_dual analog (code 3): a *binary* attribute per doc (here: "long

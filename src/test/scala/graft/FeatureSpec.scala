@@ -218,6 +218,32 @@ class FeatureSpec extends SparkSpec {
     assert(m.detect(null) === (("und", 0.0)))
   }
 
+  test("langid exact-integer scoring agrees with detect on the fixture corpus") {
+    // detectExact is the oracle-gated scoring form of the same model
+    // (integer dots + a pinned IEEE chain vs detect's pre-normalized double
+    // weights): same trigram enumeration, same cosine ordering, so the
+    // winning language must agree everywhere detect is confident, and the
+    // null/empty/no-letter contract must be identical
+    val m = graft.ml.LangId.default
+    assert(graft.ml.LangId.detectExact(null) === (("und", 0.0)))
+    assert(graft.ml.LangId.detectExact("") === (("und", 0.0)))
+    assert(graft.ml.LangId.detectExact("123 !!! 456") === (("und", 0.0)))
+    val texts = io.PagesGen.generate(spark, 2000)
+      .select("text").collect().map(_.getString(0)).filter(_ != null)
+    var checked = 0
+    texts.foreach { t =>
+      val (dl, dc) = m.detect(t)
+      val (el, ec) = graft.ml.LangId.detectExact(t)
+      if (dl == "und") assert(el === "und", s"exact found a lang where detect saw none: '$t'")
+      else {
+        assert(el === dl, s"argmax disagrees on: '${t.take(60)}' detect=$dl exact=$el")
+        assert(ec >= 0.0)
+        checked += 1
+      }
+    }
+    assert(checked > 1000, s"fixture corpus should exercise real detections, got $checked")
+  }
+
   test("tokenHashes is bit-identical to tokenize(_).map(_.##)") {
     import graft.ml.NgramLM
     val samples = Seq(
@@ -453,6 +479,28 @@ class FeatureSpec extends SparkSpec {
     assert(a === b, "row-for-row parity between split and single-frame paths")
     assert(split.columns.contains("extra_payload"),
       "caller passthrough columns survive the payload reattach")
+  }
+
+  test("payload split + key encoding: full model cascade matches single-frame path") {
+    // the split path additionally key-encodes domain/lang (Cascade.encodeKeys);
+    // this parity run exercises every encoded consumer the small test above
+    // cannot: fgt's per-language background lookup (hashed literals), sctFg,
+    // and sctFgDual's pseudo-doc union on the encoded light schema — all
+    // with models, against the identical single-frame (string-keyed) run
+    val corpus = io.PagesGen.generate(spark, 3000)
+    val train = io.PagesGen.generateWithClass(spark, 3000)
+      .filter(col("clazz") === "clean").select("text", "lang")
+    val models = Models.train(spark, train)
+    val cfg = io.PagesGen.matchingConfig
+    val split = Cascade.run(corpus, cfg.copy(payloadSplitMinBytes = 0L),
+      Some(models), io.PagesGen.exemplarTexts())
+    val plain = Cascade.run(corpus, cfg.copy(payloadSplitMinBytes = Long.MaxValue),
+      Some(models), io.PagesGen.exemplarTexts())
+    assert(split.columns.toSet === plain.columns.toSet, "schema parity")
+    val keyCols = Seq(Cols.Url, Cols.Domain, Cols.Lang, Cols.Dqc, Cols.KeepCol).map(col)
+    val a = split.select(keyCols: _*).orderBy(Cols.Url).collect().toSeq
+    val b = plain.select(keyCols: _*).orderBy(Cols.Url).collect().toSeq
+    assert(a === b, "labels + decoded string keys identical under key encoding")
   }
 
   test("model features native expression == direct model calls, bit-exact") {

@@ -125,6 +125,18 @@ class OperatorSpec extends SparkSpec {
     val v2 = emb2.map(_.getSeq[Double](2))
     assert(v1.zip(v2).forall { case (a, b) => a == b }) // parallelism-invariant
     assert(v1.forall(v => v.length == 8 && v.forall(x => x >= 0.0 && x < 1.0)))
+
+    // mean denominator = the COLLECTED frame count, not a nominal constant:
+    // a doc contributing 2 frames next to one contributing 4 must get the
+    // exact 2-frame mean, not half of it (Multimodal.frameMean)
+    val perFrame = Seq(
+      (1L, Seq(1.0, 3.0)), (1L, Seq(3.0, 5.0)),
+      (2L, Seq(2.0, 2.0)), (2L, Seq(4.0, 6.0)), (2L, Seq(6.0, 10.0)), (2L, Seq(8.0, 2.0))
+    ).toDF("id", "feat")
+    val means = Multimodal.frameMean(perFrame, "id", "feat", 2)
+      .orderBy("id").collect()
+    assert(means(0).getInt(1) === 2 && means(0).getSeq[Double](2) === Seq(2.0, 4.0))
+    assert(means(1).getInt(1) === 4 && means(1).getSeq[Double](2) === Seq(5.0, 5.0))
   }
 
   test("PNG codec: real javax.imageio round-trip matches the pixel function exactly") {

@@ -69,7 +69,7 @@ class PlanSpec extends SparkSpec {
       s"join form must be chosen statically from the measured cardinality:\n$init")
   }
 
-  test("sct order-stats and MAD join-backs are static broadcasts") {
+  test("sct fused stats join-back is a static broadcast") {
     val cfg = CascadeConfig(
       enabled = Set(FlagCodes.Sct),
       blacklistDomains = Set.empty, keepDomains = Set.empty,

@@ -42,6 +42,29 @@ class TableIOSpec extends SparkSpec {
     assert(TableIO.read(spark, root, "t").count() === 1)
   }
 
+  test("concurrent commit: the second writer of one snapshot id is rejected") {
+    import spark.implicits._
+    val root = tmpRoot()
+    TableIO.write(Seq((1, "a")).toDF("id", "v"), root, "t") // snapshot 0
+    // a stale writer: it read parent snapshot 0, so it targets id 1 — but a
+    // concurrent writer commits id 1 first (simulated by the pre-existing
+    // CAS marker). The stale commit must FAIL, not absorb the winner's id.
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/t/commits"))
+    Files.createFile(java.nio.file.Paths.get(s"$root/t/commits/s1"))
+    val e = intercept[TableIO.CommitConflictException] {
+      TableIO.write(Seq((2, "b")).toDF("id", "v"), root, "t")
+    }
+    assert(e.getMessage.contains("snapshot 1"))
+    // reader view unaffected by the failed commit; vacuum reclaims both the
+    // loser's data dir and the orphaned marker (no committed snapshot 1)
+    assert(TableIO.currentSnapshot(root, "t") === Some(0L))
+    TableIO.vacuum(root, "t")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/t/data/s1")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/t/commits/s1")))
+    // with the conflict cleared, the next write commits id 1 normally
+    assert(TableIO.write(Seq((3, "c")).toDF("id", "v"), root, "t") === 1L)
+  }
+
   test("per-column output rounding (write_output.r:48-57 parity)") {
     import spark.implicits._
     val df = Seq((1, 1.23456, 9.87654)).toDF("id", "a", "b")

@@ -28,13 +28,20 @@ def cpu_times():
                 v += [0] * (8 - len(v))
                 return v[:8]
 
+import re
+_NVME_PART = re.compile(r"^nvme\d+n\d+p\d+$")
+
 def disk_sectors():
     rd = wr = 0
     with open("/proc/diskstats") as f:
         for line in f:
             p = line.split()
-            # whole devices only (vda, sda, nvme0n1), not partitions
+            # whole devices only (vda, sda, nvme0n1) — skip partitions, incl.
+            # nvme0n1p1 (previously summed alongside its whole device,
+            # double-counting NVMe traffic)
             if p[2].rstrip("0123456789") in ("vd", "sd") and p[2][-1].isdigit():
+                continue
+            if _NVME_PART.match(p[2]):
                 continue
             if p[2].startswith(("vd", "sd", "nvme")):
                 rd += int(p[5]); wr += int(p[9])

@@ -32,7 +32,9 @@ public class CoreScale {
         for (int i = 0; i < len; i++) { a[i] = i; }
         ready.countDown(); go.await();
         long t0 = System.nanoTime(); long acc = 0;
-        int passes = (int) (48L * 256 / memMb);   // constant bytes/thread
+        // ~constant bytes/thread; clamped so memMb > 12288 still does work
+        // (an unclamped truncation to 0 passes reports garbage bandwidth)
+        int passes = Math.max(1, (int) (48L * 256 / memMb));
         for (int p = 0; p < passes; p++)
           for (int i = 0; i < len; i++) { b[i] = a[i] + p; acc += b[i]; }
         double s = (System.nanoTime() - t0) / 1e9;
