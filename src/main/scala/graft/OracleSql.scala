@@ -661,6 +661,42 @@ object OracleSql {
        |  substr(h, "offset" * 2 + 1, ${frameBytes * 2}) AS chunk_hex
        |FROM o ORDER BY doc_id, frame_no""".stripMargin
 
+  /** Hard gate on the REAL JPEG decode path (q_mm_jpeg): the payload is a
+    * real JDK-encoded 16×16 JPEG per doc and the Spark side asserts
+    * decoded-vs-source error bounds computed from ACTUALLY DECODED pixels
+    * (PngCodec.jpegRoundTrip — measured worst case 24.8/3.8 vs tolerances
+    * 48/16; any broken decode reads ≈127). JPEG is lossy, so the oracle
+    * pins the deterministic OUTCOME (dims, sniffed magic, decode_ok=true)
+    * rather than the pixels — a rows+schema+hash row that fails whenever
+    * the real codec misbehaves.
+    */
+  def qMmJpeg(w: Int = 16, h: Int = 16): String =
+    s"""SELECT doc_id, 'jpeg' AS mm_format,
+       |  CAST($w AS INT) AS width, CAST($h AS INT) AS height,
+       |  TRUE AS decode_ok
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Mirrors WavCodec: samples are the closed-form PCM16 congruence
+    * ((1234·d + 5678·i + 91) mod 2^16) − 32768; PCM is lossless, so the
+    * per-window sums of DECODED samples equal these exact integer sums —
+    * the audio twin of qMmEmbed's recompute-the-pixels strategy.
+    */
+  def qMmAudio(nSamples: Int = 256, nWindows: Int = 8,
+               sampleRate: Int = 8000): String = {
+    val pivots = (0 until nWindows)
+      .map(i => s"CAST(MAX(CASE WHEN wi = $i THEN ws END) AS BIGINT) AS ws_$i")
+      .mkString(", ")
+    s"""WITH smp AS (SELECT doc_id, i,
+       |  ((1234 * doc_id + 5678 * i + 91) % 65536) - 32768 AS s
+       |  FROM documents, range(0, $nSamples) t(i)),
+       |w AS (SELECT doc_id, CAST(i * $nWindows // $nSamples AS INT) AS wi,
+       |  SUM(s) AS ws FROM smp GROUP BY doc_id, wi)
+       |SELECT doc_id, CAST($sampleRate AS INT) AS sample_rate,
+       |  CAST(1 AS INT) AS channels, CAST($nSamples AS INT) AS n_samples,
+       |  $pivots
+       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** IVF top-k (mirrors Similarity.ivfTopK): coarse assignment to the
     * nearest of the `nCentroids` smallest-id vectors, probe `nProbe`
     * buckets, exact cosine within them.

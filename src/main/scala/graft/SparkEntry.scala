@@ -129,6 +129,23 @@ object SparkEntry {
   private val synthPngUdf =
     udf((d: Long) => graft.operators.PngCodec.synthPng(d, 16, 16))
 
+  /** Real deterministic JPEG payload + real-decode round-trip metrics for
+    * q_mm_jpeg (source pixels = PngCodec.synthPixel(doc_id, x, y), encoded
+    * and decoded by the JDK's own JPEG codec).
+    */
+  private val synthJpegUdf =
+    udf((d: Long) => graft.operators.PngCodec.synthJpeg(d, 16, 16))
+  private val jpegRoundTripUdf = udf((b: Array[Byte], d: Long) =>
+    graft.operators.PngCodec.jpegRoundTrip(b, d, nBands = 8))
+
+  /** Real deterministic WAV payload + real-decode window sums for
+    * q_mm_audio (samples = WavCodec.synthSample(doc_id, i); decode through
+    * the JDK's javax.sound.sampled RIFF/WAVE parser).
+    */
+  private val wavWindowsUdf = udf((d: Long) =>
+    graft.operators.WavCodec.decodeWindows(
+      graft.operators.WavCodec.synthWav(d, nSamples = 256), nWindows = 8))
+
   private def checkQ(stage: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => stage(norm(s, dir))
       .select(col("doc_id"), col(Cols.Dqc).cast("int").as("dqc"))
@@ -423,6 +440,40 @@ object SparkEntry {
           .withColumn("_png", synthPngUdf(col("doc_id").cast("long"))),
         "_png", "doc_id", nBands = 8)
         .orderBy("doc_id")),
+    // REAL JPEG decode (huffman + dequant + inverse DCT + YCbCr→RGB via the
+    // JDK's own codec): each doc gets an actual 16×16 JPEG of known source
+    // pixels; the output asserts decoded-vs-source error bounds (pixel MAE
+    // ≤ 48, per-band mean error ≤ 16 — measured real-decode worst case is
+    // 24.8/3.8, a broken decode reads ≈127 on both), dims, and the sniffed
+    // magic. JPEG is lossy so the pixels themselves aren't SQL-predictable;
+    // the PASS/FAIL outcome is, making this a hard rows+schema+hash gate on
+    // the real decode path (PngCodec.jpegRoundTrip scaladoc).
+    "q_mm_jpeg" -> ((s, dir) =>
+      Docs.read(s, dir).select(col("doc_id"))
+        .withColumn("_jpg", synthJpegUdf(col("doc_id").cast("long")))
+        .withColumn("_rt", jpegRoundTripUdf(col("_jpg"), col("doc_id").cast("long")))
+        .select(col("doc_id"),
+          Multimodal.sniffFormat(col("_jpg")).as("mm_format"),
+          col("_rt.width").as("width"), col("_rt.height").as("height"),
+          (col("_rt.pixelMae") <= lit(48.0) &&
+            col("_rt.maxBandErr") <= lit(16.0)).as("decode_ok"))
+        .orderBy("doc_id")),
+    // REAL WAV decode (RIFF chunk walk + fmt validation + PCM16 frame
+    // extraction via javax.sound.sampled): each doc gets a spec-valid mono
+    // PCM16 WAV of closed-form samples; PCM is lossless, so the per-window
+    // exact integer sample sums from DECODED frames are mirrored directly
+    // by the SQL oracle — the same hard-gate shape as the PNG path.
+    "q_mm_audio" -> ((s, dir) =>
+      Docs.read(s, dir).select(col("doc_id"))
+        .withColumn("_aw", wavWindowsUdf(col("doc_id").cast("long")))
+        .select(
+          col("doc_id") +:
+            col("_aw.sampleRate").as("sample_rate") +:
+            col("_aw.channels").as("channels") +:
+            col("_aw.nSamples").as("n_samples") +:
+            (0 until 8).map(i =>
+              element_at(col("_aw.windowSums"), i + 1).as(s"ws_$i")): _*)
+        .orderBy("doc_id")),
 
     // ---- similarity search over embeddings ----
     "q_ann_topk" -> ((s, dir) =>
@@ -627,6 +678,8 @@ object SparkEntry {
     "q_mm_meta"       -> OracleSql.qMmMeta,
     "q_mm_frames"     -> OracleSql.qMmFrames(4, 32),
     "q_mm_embed"      -> OracleSql.qMmEmbed(16, 16, 8),
+    "q_mm_jpeg"       -> OracleSql.qMmJpeg(16, 16),
+    "q_mm_audio"      -> OracleSql.qMmAudio(256, 8, 8000),
     "q_scrub"         -> OracleSql.qScrub,
     "q_scrub_report"  -> OracleSql.qScrubReport,
     "q_text_tokens" ->

@@ -10,15 +10,18 @@ import org.apache.spark.sql.functions._
   * /root/reference/functions/IO/netcdf_util.r:154-488).
   *
   * The Spark-side plumbing — schema, slicing, batch shape, partitioning —
-  * is real and tested. The decode step is REAL for the formats the JDK's
-  * own `javax.imageio` ships (PNG/BMP/GIF): [[imageEmbedding]] runs an
-  * actual codec round-trip (zlib inflate, filter reconstruction, CRCs) via
-  * [[PngCodec]], oracle-gated bit-exactly. Only the genuinely-absent codecs
-  * (JPEG/WAV/MP4 — no media libraries in this container) keep the
-  * deterministic byte-derived STUB below; swapping `decodeFeaturesStub` for
-  * a real decoder changes one column expression (or one `mapPartitions`
-  * over `Dataset[Array[Byte]]` batching into the native codec), nothing
-  * else — exactly the swap `imageEmbedding` already demonstrates for PNG.
+  * is real and tested. The decode step is REAL for every format the JDK
+  * itself ships a codec for: PNG/BMP/GIF and JPEG via `javax.imageio`
+  * ([[imageEmbedding]] / [[PngCodec]] — zlib inflate, filter
+  * reconstruction, CRCs; huffman + inverse DCT for JPEG), and WAV PCM via
+  * `javax.sound.sampled` ([[WavCodec]]) — each oracle-gated (bit-exactly
+  * for the lossless formats, outcome-exactly for lossy JPEG). Only
+  * MP4/video keeps the deterministic byte-derived STUB below (the JDK has
+  * no video codec and this container has no media libraries); swapping
+  * `decodeFeaturesStub` for a real decoder changes one column expression
+  * (or one `mapPartitions` over `Dataset[Array[Byte]]` batching into the
+  * native codec), nothing else — exactly the swap `imageEmbedding`,
+  * `q_mm_jpeg`, and `q_mm_audio` already demonstrate.
   *
   * Everything except the clearly-marked stub is restricted to operations
   * with identical semantics in Spark and DuckDB (binary substring/hex/
@@ -78,14 +81,15 @@ object Multimodal {
     })
   }
 
-  /** ============ STUB (JPEG/WAV/MP4 — codecs absent in container) =========
-    * Deterministic fake "decode + feature extract" for the formats
-    * javax.imageio cannot decode: dims byte-derived pseudo-activations in
-    * [0,1), each a pure function of the payload's head fingerprint — stands
-    * in for `decode(jpeg).globalPool()`. Keeps schema (array<double>),
-    * determinism, and per-row cost shape honest. Portable: nibble-of-md5
-    * arithmetic only. The REAL decode path for JDK-supported formats is
-    * [[imageEmbedding]].
+  /** ============ STUB (MP4/video — no codec in the JDK or container) ======
+    * Deterministic fake "decode + feature extract" for the one modality
+    * nothing in this sandbox can decode: dims byte-derived
+    * pseudo-activations in [0,1), each a pure function of the payload's
+    * head fingerprint — stands in for `decode(frame).globalPool()`. Keeps
+    * schema (array<double>), determinism, and per-row cost shape honest.
+    * Portable: nibble-of-md5 arithmetic only. The REAL decode paths are
+    * [[imageEmbedding]] (PNG), [[PngCodec.jpegRoundTrip]] (JPEG), and
+    * [[WavCodec.decodeWindows]] (WAV PCM).
     */
   def decodeFeaturesStub(bin: Column, dims: Int): Column = {
     val fp = md5(hex(substring(bin, 1, 64)))

@@ -167,6 +167,50 @@ class OperatorSpec extends SparkSpec {
     }))
   }
 
+  test("JPEG codec: real javax.imageio round-trip stays inside the lossy tolerance") {
+    import graft.operators.PngCodec
+    for (d <- Seq(0L, 1L, 17L, 499L)) {
+      val bytes = PngCodec.synthJpeg(d, 16, 16)
+      // real JPEG magic (SOI + APP0/JFIF from the JDK writer)
+      assert((bytes(0) & 0xFF) === 0xFF && (bytes(1) & 0xFF) === 0xD8 &&
+        (bytes(2) & 0xFF) === 0xFF)
+      val rt = PngCodec.jpegRoundTrip(bytes, d, nBands = 8)
+      assert(rt.width === 16 && rt.height === 16)
+      // decoded pixels came from a REAL inverse DCT: close to the source
+      // (measured worst case 24.8 / 3.8) but not exactly equal to it
+      assert(rt.pixelMae <= 48.0 && rt.pixelMae > 0.0)
+      assert(rt.maxBandErr <= 16.0)
+      // deterministic: the same bytes decode to the same metrics
+      val rt2 = PngCodec.jpegRoundTrip(bytes, d, nBands = 8)
+      assert(rt2 === rt.copy())
+    }
+    // the tolerance DISCRIMINATES: scoring the decoded pixels against a
+    // wrong source must blow past the tolerances — i.e. the gate fails for
+    // anything but a faithful decode of THIS payload. (A wrong source 100
+    // ids away; ADJACENT ids are near-constant channel shifts of 7/11/19
+    // by construction, which is not the failure mode the gate targets.)
+    val wrong = PngCodec.jpegRoundTrip(PngCodec.synthJpeg(7L, 16, 16), 107L, nBands = 8)
+    assert(wrong.pixelMae > 48.0 && wrong.maxBandErr > 16.0)
+  }
+
+  test("WAV codec: real javax.sound.sampled decode recovers the exact PCM16 samples") {
+    import graft.operators.WavCodec
+    for (d <- Seq(0L, 3L, 499L)) {
+      val bytes = WavCodec.synthWav(d, nSamples = 256)
+      assert(new String(bytes.take(4), "US-ASCII") === "RIFF")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE")
+      val aw = WavCodec.decodeWindows(bytes, nWindows = 8)
+      assert(aw.sampleRate === 8000 && aw.channels === 1 && aw.nSamples === 256)
+      // PCM is lossless: window sums equal the closed-form integer sums
+      val expected = new Array[Long](8)
+      for (i <- 0 until 256) expected(i * 8 / 256) += WavCodec.synthSample(d, i)
+      assert(aw.windowSums.toSeq === expected.toSeq)
+    }
+    // a truncated payload must fail loudly, not yield silent partial sums
+    val trunc = WavCodec.synthWav(1L, nSamples = 256).dropRight(7)
+    intercept[Exception](WavCodec.decodeWindows(trunc, nWindows = 8))
+  }
+
   test("line dedup keeps the first corpus-wide occurrence of every line") {
     val d = Seq(
       (1L, "a b c d e f"),       // lines: "a b c", "d e f" — both first
