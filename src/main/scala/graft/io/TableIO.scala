@@ -78,7 +78,7 @@ object TableIO {
     val id = prev.current + 1
     val dataDir = tableDir(root, name).resolve(s"data/s$id")
     df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    val rows = df.sparkSession.read.parquet(dataDir.toString).count()
+    val rows = footerRowCount(dataDir)
     val next = Manifest(id, prev.snapshots :+ Snapshot(id, rows))
     Files.createDirectories(manifestPath(root, name).getParent)
     val commitDir = tableDir(root, name).resolve("commits")
@@ -95,6 +95,26 @@ object TableIO {
     Files.move(tmp, manifestPath(root, name),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     id
+  }
+
+  /** Committed-snapshot row count from the parquet FOOTERS, read on the
+    * driver — no Spark job. This is how Iceberg itself records row counts
+    * (data-file metadata captured at commit); the previous form
+    * (`read.parquet(dir).count()`) scheduled a full second Spark job per
+    * commit just to recount what the footers already state, a fixed
+    * per-commit latency that the snapshot-mode scaling legs measured as
+    * the dominant term of the serial residue (BENCH/BASELINE.md §1).
+    */
+  private def footerRowCount(dataDir: Path): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
   }
 
   /** Read the current (or a specific) committed snapshot. */
