@@ -28,6 +28,21 @@ class TableIOSpec extends SparkSpec {
     assert(TableIO.currentSnapshot(root, "t") === Some(1L))
   }
 
+  test("manifest row counts come from parquet footers and match the data") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // multi-file commit: 7 rows over 4 partitions (uneven, one near-empty
+    // split is common at scale) — the footer sum must equal the row count
+    val df = (1 to 7).map(i => (i, s"v$i")).toDF("id", "v").repartition(4)
+    TableIO.write(df, root, "t")
+    // empty commit (a stage that dropped everything) must record 0, not fail
+    TableIO.write(df.filter(col("id") > 100), root, "t")
+    val m = TableIO.readManifest(root, "t").get
+    assert(m.snapshots.map(s => s.id -> s.rows) === Seq(0L -> 7L, 1L -> 0L))
+    assert(TableIO.read(spark, root, "t", Some(0L)).count() === 7L)
+    assert(TableIO.read(spark, root, "t").count() === 0L)
+  }
+
   test("uncommitted data is invisible and vacuumable") {
     import spark.implicits._
     val root = tmpRoot()
