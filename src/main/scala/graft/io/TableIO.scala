@@ -107,9 +107,13 @@ object TableIO {
     */
   private def footerRowCount(dataDir: Path): Long = {
     val conf = new org.apache.hadoop.conf.Configuration()
-    Files.list(dataDir).iterator().asScala
+    // parallel over files: a snapshot has one file per write task (32+ at
+    // bench parallelism), and the footer opens are independent metadata
+    // reads — serializing them puts ~file-count × open-latency on the
+    // per-commit serial residue the scaling legs measure
+    Files.list(dataDir).parallel()
       .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
+      .mapToLong { p =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -159,6 +163,37 @@ object TableIO {
         .foreach(p => Files.deleteIfExists(p))
     }
   }
+
+  /** Expire all but the newest `keepLast` snapshots — Iceberg's
+    * `expireSnapshots` table maintenance. A long-lived stage table under
+    * rerun-heavy operation (every rerun of a committed stage appends a
+    * fresh snapshot by design — commit idempotence) otherwise accumulates
+    * data dirs without bound; at 10^12-doc scale each one is a full light
+    * working set. Keeps the current snapshot always (keepLast is clamped to
+    * ≥1), rewrites the manifest atomically, then reclaims the dropped data
+    * dirs and their commit markers. Like Iceberg's, this is a maintenance
+    * operation: run it from the table's single maintainer, not concurrently
+    * with a writer racing the same manifest (writers CAS on snapshot ids,
+    * which never move backwards, so a later writer is unaffected).
+    */
+  def expireSnapshots(root: String, name: String, keepLast: Int): Unit =
+    readManifest(root, name).foreach { m =>
+      val keep = m.snapshots.sortBy(_.id).takeRight(math.max(1, keepLast))
+      if (keep.size < m.snapshots.size) {
+        require(keep.exists(_.id == m.current),
+          s"table $name: current snapshot ${m.current} must survive expiry")
+        val next = Manifest(m.current, keep)
+        val tmp = manifestPath(root, name).resolveSibling(s"manifest.json.exp${m.current}")
+        Files.write(tmp, render(next).getBytes("UTF-8"))
+        Files.move(tmp, manifestPath(root, name),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        val dropped = m.snapshots.map(_.id).toSet -- keep.map(_.id).toSet
+        dropped.foreach { id =>
+          deleteRecursively(tableDir(root, name).resolve(s"data/s$id"))
+          Files.deleteIfExists(tableDir(root, name).resolve(s"commits/s$id"))
+        }
+      }
+    }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))

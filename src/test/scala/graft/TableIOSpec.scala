@@ -80,6 +80,28 @@ class TableIOSpec extends SparkSpec {
     assert(TableIO.write(Seq((3, "c")).toDF("id", "v"), root, "t") === 1L)
   }
 
+  test("expireSnapshots keeps the newest k, reclaims the rest, current survives") {
+    import spark.implicits._
+    val root = tmpRoot()
+    (1 to 4).foreach(i => TableIO.write(Seq((i, s"v$i")).toDF("id", "v"), root, "t"))
+    TableIO.expireSnapshots(root, "t", keepLast = 2)
+    val m = TableIO.readManifest(root, "t").get
+    assert(m.current === 3L)
+    assert(m.snapshots.map(_.id) === Seq(2L, 3L))
+    // expired data dirs and markers are gone; surviving snapshots readable
+    for (id <- Seq(0L, 1L)) {
+      assert(!Files.exists(java.nio.file.Paths.get(s"$root/t/data/s$id")))
+      assert(!Files.exists(java.nio.file.Paths.get(s"$root/t/commits/s$id")))
+    }
+    assert(TableIO.read(spark, root, "t", Some(2L)).count() === 1)
+    assert(TableIO.read(spark, root, "t").as[(Int, String)].collect() === Array((4, "v4")))
+    // the next write continues the id sequence past the expired range
+    assert(TableIO.write(Seq((5, "v5")).toDF("id", "v"), root, "t") === 4L)
+    // keepLast is clamped: expiring to 0 still keeps current
+    TableIO.expireSnapshots(root, "t", keepLast = 0)
+    assert(TableIO.readManifest(root, "t").get.snapshots.map(_.id) === Seq(4L))
+  }
+
   test("per-column output rounding (write_output.r:48-57 parity)") {
     import spark.implicits._
     val df = Seq((1, 1.23456, 9.87654)).toDF("id", "a", "b")
