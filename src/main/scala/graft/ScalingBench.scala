@@ -35,6 +35,14 @@ object ScalingBench {
       // these partitions (>= 1 MB each at these corpus sizes). On a real
       // cluster the same 2-4x-cores rule is the standard setting.
       .config("spark.sql.shuffle.partitions", (4 * cores).toString)
+      // AQE's parallelismFirst coalescing floors at default parallelism
+      // (= cores in local[k]), so post-shuffle stages coalesce to ragged
+      // non-multiples of the slot count — measured in the c8 snapshot event
+      // log as two 11-task stats-checkpoint jobs on 8 slots: 1.4 waves,
+      // ~30 % idle slots for ~22 s each. Raising the floor to the same
+      // 4×cores rule keeps whole waves (and matches what a real cluster
+      // sets via spark.default.parallelism anyway).
+      .config("spark.default.parallelism", (4 * cores).toString)
       // smaller scan splits for the same in-flight-bytes reason; the corpus
       // parquet is ~25 MB/file so this also splits multi-file packing
       .config("spark.sql.files.maxPartitionBytes", "32m")

@@ -60,9 +60,9 @@ object TableIO {
     */
   final class CommitConflictException(msg: String) extends IllegalStateException(msg)
 
-  /** Append a new snapshot: write data, then commit — compare-and-swap on
-    * the expected parent snapshot, then atomic manifest rename. Returns the
-    * committed snapshot id.
+  /** Append a new snapshot: claim the successor id (compare-and-swap on the
+    * expected parent snapshot), write data + schema, then the atomic
+    * manifest rename. Returns the committed snapshot id.
     *
     * The CAS is an exclusive-create of `commits/<id>` (CREATE_NEW is atomic
     * on POSIX): two concurrent writers that both read parent snapshot id−1
@@ -76,10 +76,12 @@ object TableIO {
   def write(df: DataFrame, root: String, name: String): Long = {
     val prev = readManifest(root, name).getOrElse(Manifest(-1L, Nil))
     val id = prev.current + 1
-    val dataDir = tableDir(root, name).resolve(s"data/s$id")
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    val rows = footerRowCount(dataDir)
-    val next = Manifest(id, prev.snapshots :+ Snapshot(id, rows))
+    // claim the id FIRST: with dir-per-snapshot data layout the loser of a
+    // commit race must find out before writing, or its overwrite of
+    // data/s<id> would corrupt the winner's already-committed files (Iceberg
+    // tolerates write-then-race because its data files are uniquely named;
+    // this layout cannot). A kill between marker and manifest leaves an
+    // orphaned marker + partial data that [[vacuum]] reclaims.
     Files.createDirectories(manifestPath(root, name).getParent)
     val commitDir = tableDir(root, name).resolve("commits")
     Files.createDirectories(commitDir)
@@ -90,6 +92,17 @@ object TableIO {
           s"table $name: snapshot $id already committed by a concurrent writer " +
             s"(expected parent ${prev.current}); re-read the manifest and retry")
     }
+    val dataDir = tableDir(root, name).resolve(s"data/s$id")
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    val rows = footerRowCount(dataDir)
+    // per-snapshot schema, written before the commit rename makes it
+    // visible — Iceberg serves the schema from table metadata, so a read
+    // never needs the footer-sniffing Spark job `spark.read.parquet`
+    // schedules for schema inference (measured: ~20 such 1-task jobs per
+    // resumable-cascade run, each pure core-count-invariant latency)
+    Files.write(tableDir(root, name).resolve(s"schema_s$id.json"),
+      df.schema.json.getBytes("UTF-8"))
+    val next = Manifest(id, prev.snapshots :+ Snapshot(id, rows))
     val tmp = manifestPath(root, name).resolveSibling(s"manifest.json.tmp$id")
     Files.write(tmp, render(next).getBytes("UTF-8"))
     Files.move(tmp, manifestPath(root, name),
@@ -121,14 +134,25 @@ object TableIO {
       }.sum
   }
 
-  /** Read the current (or a specific) committed snapshot. */
+  /** Read the current (or a specific) committed snapshot. The schema comes
+    * from the snapshot's committed metadata when present (the Iceberg way),
+    * so no schema-inference job is scheduled; pre-schema tables fall back
+    * to parquet footer inference.
+    */
   def read(spark: SparkSession, root: String, name: String,
            snapshot: Option[Long] = None): DataFrame = {
     val m = readManifest(root, name)
       .getOrElse(throw new IllegalStateException(s"no committed snapshot for $name"))
     val id = snapshot.getOrElse(m.current)
     require(m.snapshots.exists(_.id == id), s"snapshot $id not committed for $name")
-    spark.read.parquet(tableDir(root, name).resolve(s"data/s$id").toString)
+    val dataDir = tableDir(root, name).resolve(s"data/s$id").toString
+    val schemaFile = tableDir(root, name).resolve(s"schema_s$id.json")
+    if (Files.exists(schemaFile)) {
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(new String(Files.readAllBytes(schemaFile), "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.read.schema(schema).parquet(dataDir)
+    } else spark.read.parquet(dataDir)
   }
 
   /** Per-column output rounding — the reference rounds each output column
@@ -162,6 +186,14 @@ object TableIO {
         .filterNot(p => committed.contains(p.getFileName.toString))
         .foreach(p => Files.deleteIfExists(p))
     }
+    val td = tableDir(root, name)
+    if (Files.exists(td)) {
+      Files.list(td).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("schema_s"))
+        .filterNot(p => committed.contains(
+          p.getFileName.toString.stripPrefix("schema_").stripSuffix(".json")))
+        .foreach(p => Files.deleteIfExists(p))
+    }
   }
 
   /** Expire all but the newest `keepLast` snapshots — Iceberg's
@@ -191,6 +223,7 @@ object TableIO {
         dropped.foreach { id =>
           deleteRecursively(tableDir(root, name).resolve(s"data/s$id"))
           Files.deleteIfExists(tableDir(root, name).resolve(s"commits/s$id"))
+          Files.deleteIfExists(tableDir(root, name).resolve(s"schema_s$id.json"))
         }
       }
     }

@@ -80,6 +80,26 @@ class TableIOSpec extends SparkSpec {
     assert(TableIO.write(Seq((3, "c")).toDF("id", "v"), root, "t") === 1L)
   }
 
+  test("reads serve the committed per-snapshot schema; footer inference is the fallback") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val df = Seq((1, "a", 1.5)).toDF("id", "v", "w")
+    TableIO.write(df, root, "t")
+    // schema file committed; read returns the identical schema without
+    // needing footer inference
+    val p = java.nio.file.Paths.get(s"$root/t/schema_s0.json")
+    assert(Files.exists(p))
+    // file sources widen to nullable on read (footer inference does too),
+    // so the contract is nullable-widened schema equality
+    val nullableWidened = org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(_.copy(nullable = true)))
+    assert(TableIO.read(spark, root, "t").schema === nullableWidened)
+    // pre-schema tables (file absent) still read via footer inference
+    Files.delete(p)
+    assert(TableIO.read(spark, root, "t").as[(Int, String, Double)].collect()
+      === Array((1, "a", 1.5)))
+  }
+
   test("expireSnapshots keeps the newest k, reclaims the rest, current survives") {
     import spark.implicits._
     val root = tmpRoot()
