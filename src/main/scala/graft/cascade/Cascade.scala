@@ -328,16 +328,20 @@ object Cascade {
       sweepExcept(added)
       c
     }
-    val normalized = Ingest.normalize(pages, cfg)
     // ingest-time duplicate drop BEFORE any check (read_data_to_check.r:
     // 122-143): duplicates must never inflate neighborhood statistics.
     // Self-join-shaped, so the input is materialized like selfRef stages;
     // its blocks (still carrying html) are dead the moment the next
     // checkpoint materializes, and the baseline sweep reaps them there.
+    // The materialized frame is the PRE-feature normalization (the drop
+    // reads only url/warc_ts/text): the checkpoint is narrower by the
+    // whole f_* working set, and the feature pass runs once per surviving
+    // row, after the drop (result-identical — features are deterministic
+    // per row; see Ingest.normalizeCore).
     val deduped = if (cfg.dedupIngest) {
-      val (m, _) = matTracked(normalized)
-      Ingest.dropDuplicatePages(m)
-    } else normalized
+      val (m, _) = matTracked(Ingest.normalizeCore(pages, cfg))
+      Ingest.features(Ingest.dropDuplicatePages(m))
+    } else Ingest.normalize(pages, cfg)
     val prepared = Ingest.stampLists(deduped, cfg)
     val stageList = stages(cfg, models, pseudoTexts)
     val firstSelf = stageList.indexWhere(_.selfRef)

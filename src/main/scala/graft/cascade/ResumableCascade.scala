@@ -71,10 +71,18 @@ object ResumableCascade {
     // the payload columns and the reattach id. Written before any light
     // stage, so on resume its presence is the progress indicator.
     if (TableIO.currentSnapshot(root, PrefixTable).isEmpty) {
-      val normalized = Ingest.normalize(pages, cfg)
-      val deduped =
-        if (cfg.dedupIngest) Ingest.dropDuplicatePages(normalized) else normalized
-      val prepared = Ingest.stampLists(deduped, cfg)
+      // dedup over the pre-feature normalization: the duplicate drop's
+      // keeper aggregate + semi-join + union scan their input three times,
+      // and here that input is a lazy re-read of the source (no local
+      // checkpoint — the prefix commit is the durable materialization), so
+      // keeping the single-pass text feature scan OUT of the thrice-
+      // scanned subtree computes it once per surviving row instead of
+      // three times per ingested row (result-identical; normalizeCore).
+      val base =
+        if (cfg.dedupIngest)
+          Ingest.features(Ingest.dropDuplicatePages(Ingest.normalizeCore(pages, cfg)))
+        else Ingest.normalize(pages, cfg)
+      val prepared = Ingest.stampLists(base, cfg)
       val prefixed = stages.take(splitAt).foldLeft(prepared) { case (d, s) => s.f(d) }
       // the id is persisted WITH the data, so it is stable across restarts
       // by construction (a resumed run reads it, never re-derives it)

@@ -36,7 +36,19 @@ object Ingest {
     * (spatconv analog, misc/spatconv.r:10-17). Missing html/lang columns are
     * synthesized as nulls; `domain` is derived from url when absent.
     */
-  def normalize(pages: DataFrame, cfg: CascadeConfig): DataFrame = {
+  def normalize(pages: DataFrame, cfg: CascadeConfig): DataFrame =
+    features(normalizeCore(pages, cfg))
+
+  /** [[normalize]] minus the derived-feature projection. The cascade's
+    * ingest-dedup path materializes THIS frame (the duplicate drop reads
+    * only url/warc_ts/text) and runs [[features]] after the drop: the
+    * dedup checkpoint is narrower by the whole f_* working set, and the
+    * single-pass text scan ([[features]]' TextStatsExpr byte walk) runs
+    * once per SURVIVING row instead of once per ingested row. Feature
+    * values are deterministic per row, so computing them after the
+    * row drop is result-identical.
+    */
+  def normalizeCore(pages: DataFrame, cfg: CascadeConfig): DataFrame = {
     var df = pages
     if (!df.columns.contains(Html))   df = df.withColumn(Html, lit(null).cast("binary"))
     if (!df.columns.contains(Lang))   df = df.withColumn(Lang, lit(null).cast("string"))
@@ -59,12 +71,9 @@ object Ingest {
       m.foldLeft(lit(default)) { case (acc, (d, v)) =>
         when(col(Domain) === d, lit(v)).otherwise(acc)
       }
-    df = df
-      .withColumn(Doit, lookup(cfg.doit, 1))
+    df.withColumn(Doit, lookup(cfg.doit, 1))
       .withColumn(Prio, lookup(cfg.priorities, 0))
       .filter(col(Doit) =!= 0)
-
-    features(df)
   }
 
   /** The one-time derived-feature projection every check reuses. The five

@@ -231,20 +231,14 @@ object ModelChecks {
     val spark = df.sparkSession
     import spark.implicits._
     val marked = df.withColumn("_pseudo", lit(false))
-    // ONE aggregate over the real rows yields both the pseudo-doc domain
-    // dimension and (capped mode) the per-domain eligible-reference counts.
-    // The previous shape paid a separate corpus-wide distinct for the
-    // dimension and then re-counted the corpus inside groupStats' cap pass —
-    // one full scan more per cascade run. Domains with zero eligible rows
-    // drop out with the distinct they came from: such a domain has no alive
-    // row, so nothing in it is flaggable and its pseudo neighborhood could
-    // never be consulted. The checkpoint makes the aggregate compute once;
-    // its measured cardinality picks the join-back form downstream
-    // (Neighborhood.statsJoinForm via groupStats' precomputedCap count).
-    val domCounts = graft.cascade.Cascade.materialize(
-      df.filter(Stage.referenceEligible)
-        .groupBy(col(Domain)).agg(count(lit(1)).as("_gnr")))
-    val domains = domCounts.select(col(Domain))
+    // The pseudo-doc domain dimension: distinct domains with at least one
+    // eligible row (a domain with no alive row has nothing flaggable, and
+    // its pseudo neighborhood could never be consulted). The per-domain cap
+    // counts that used to be derived here are gone: groupStats' fused
+    // capped mode now measures group sizes inside its own single stats
+    // pass over the unioned frame, so supplying them saved nothing.
+    val domains = graft.cascade.Cascade.materialize(
+      df.filter(Stage.referenceEligible).select(col(Domain)).distinct())
     val pseudoBase = domains.crossJoin(
       broadcast(pseudoTexts.zipWithIndex.toDF("_ptext", "_pidx")))
     val pseudo = Ingest.features(
@@ -276,13 +270,10 @@ object ModelChecks {
     val aligned = pseudo.select(pseudo.columns.filter(keepCols).map(col): _*)
     val unioned = marked.unionByName(aligned, allowMissingColumns = true)
     val event = (col(DigitRatio) > cfg.fgDualDigitRatio).cast("int")
-    // every pseudo row is referenceEligible (dqc null), so the capped-mode
-    // per-domain group size is exactly the real eligible count plus the
-    // pseudo-text count — no second count pass over the corpus needed
-    val capCounts = cfg.maxRefsPerGroup.map(_ => domCounts.select(
-      col(Domain), (col("_gnr") + lit(pseudoTexts.size.toLong)).as("_gn")))
-    val stats = Neighborhood.groupStats(unioned.withColumn("_ev", event), col("_ev"), cfg,
-        precomputedCap = capCounts)
+    // capped mode: groupStats' fused pass measures the per-domain group
+    // sizes (real eligible + pseudo rows — every pseudo row is
+    // referenceEligible by construction) inside the one stats aggregation
+    val stats = Neighborhood.groupStats(unioned.withColumn("_ev", event), col("_ev"), cfg)
       .withColumnRenamed("_s", "_evs").withColumnRenamed("_n", "_evn").drop("_q")
     // join form chosen from the measured domain cardinality inside
     // groupStats (Neighborhood.statsJoinForm): broadcast when the dimension

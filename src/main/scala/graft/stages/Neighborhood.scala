@@ -36,70 +36,85 @@ object Neighborhood {
     *
     * `maxRefs` (the reference's neighbor cap, `num_max_outer`,
     * /root/reference/functions/checks/buddy.r:46,154-167) bounds how many
-    * rows a giant group contributes to its own statistics: a first cheap
-    * count pass sets a per-group deterministic hash-sampling rate
-    * min(1, cap/n), so a 10M-doc host is judged against a fixed-size,
-    * reproducible subsample instead of all 10M rows.
+    * rows a giant group contributes to its own statistics: when some group
+    * exceeds the cap, a per-group deterministic hash-sampling rate
+    * min(1, cap/n) thins it, so a 10M-doc host is judged against a
+    * fixed-size, reproducible subsample instead of all 10M rows.
+    *
+    * FUSED capped mode (optimization round 6): the old shape always paid
+    * TWO corpus passes — a count pass for the per-group sizes, then the
+    * stats pass over the sampled corpus (plus a join of the corpus against
+    * the cap table and a join of the stats against it). But sampling only
+    * CHANGES anything when some group actually exceeds the cap; below it,
+    * `inSampleCond` is vacuously true and the sampled corpus IS the corpus.
+    * So one fused two-level aggregation over the eligible rows now yields
+    * the stats (_s,_q,_n) AND the pre-cap group sizes (_gn) together; a
+    * driver-side max over the (checkpointed, group-sized) result decides
+    * whether any group binds the cap. If none does — every oracle SF, and
+    * any corpus whose largest host sits under the cap — the fused frame is
+    * the exact answer (bit-identical: same integer sums over the same
+    * rows). Only when the cap genuinely binds does the sampling pass run,
+    * reusing the counts already in hand — same two-pass cost as before,
+    * in the regime that actually needs it.
     */
   def groupStats(df: DataFrame, x: Column, cfg: CascadeConfig,
                  refFilter: Column = Stage.referenceEligible,
-                 keys: Seq[String] = Seq(Domain),
-                 precomputedCap: Option[DataFrame] = None): DataFrame = {
+                 keys: Seq[String] = Seq(Domain)): DataFrame = {
     val keyCols = keys.map(col)
-    // capped mode: one cheap count pass sets the per-group sampling rate.
-    // The count table joins the FULL corpus by the group key, so its join
-    // form goes through statsJoinForm like the merged stats below.
-    //
-    // `precomputedCap` lets a caller that already holds the per-group
-    // eligible-row counts (keys + "_gn") supply them and skip this scan —
-    // sctFgDual derives its pseudo-doc domain dimension AND the cap counts
-    // from one aggregate over the real rows (ModelChecks.sctFgDual), so the
-    // corpus is not re-counted here. The caller owns materialization of the
-    // supplied frame (it must be a checkpoint, so the count here is a
-    // block-metadata scan, not a corpus pass).
-    val capCounts = cfg.maxRefsPerGroup.map { _ =>
-      precomputedCap.getOrElse(
-        graft.cascade.Cascade.materialize(
-          df.filter(refFilter).groupBy(keyCols: _*).agg(count(lit(1)).as("_gn"))))
-    }
-    // the measured group-dimension cardinality — one tiny count over the
-    // checkpointed cap table; drives every join-form decision below
-    val nGroups = capCounts.map(_.count())
-    val capReady = capCounts.map(c => statsJoinForm(c, nGroups.get, cfg))
-    val sampled = cfg.maxRefsPerGroup match {
-      case None => df
+    def saltCol = pmod(col(UrlHash), lit(cfg.saltBuckets.max(1))).as("_salt")
+    // _n == 0 groups (present in df but with no reference-eligible row, or
+    // eligible rows whose x is null) are dropped: the left join back yields
+    // nulls for them, which every consumer's null-guarded math treats
+    // exactly like a present-but-empty stats row — and keeping them would
+    // let the broadcast table silently outgrow the measured ELIGIBLE-group
+    // cardinality that statsJoinForm's driver-OOM guard is based on (a
+    // heavily-flagged corpus can have far more domains than
+    // reference-eligible domains).
+    def mergedStats(base: DataFrame, xl: Column): DataFrame =
+      base
+        .groupBy(keyCols :+ saltCol: _*)
+        .agg(sum(xl).as("_ps"), sum(xl * xl).as("_pq"), count(xl).as("_pn"))
+        .groupBy(keyCols: _*)
+        .agg(sum("_ps").as("_s"), sum("_pq").as("_q"), sum("_pn").as("_n"))
+        .filter(col("_n") > 0)
+    cfg.maxRefsPerGroup match {
+      case None =>
+        joinReady(mergedStats(df, when(refFilter, x.cast("long"))), cfg)
       case Some(cap) =>
-        // deterministic proportional thinning: keep row iff its url hash
-        // falls under cap/n of the hash space (exact at any parallelism)
-        df.join(capReady.get, keys, "left")
-          .filter(col("_gn").isNull || inSampleCond(cap, col("_gn")))
-          .drop("_gn")
-    }
-    val xl = when(refFilter, x.cast("long"))
-    val partial = sampled
-      .groupBy(keyCols :+ pmod(col(UrlHash), lit(cfg.saltBuckets.max(1))).as("_salt"): _*)
-      .agg(
-        sum(xl).as("_ps"),
-        sum(xl * xl).as("_pq"),
-        count(xl).as("_pn"))
-    // _n == 0 groups (present in df but with no reference-eligible row) are
-    // dropped: the left join back yields nulls for them, which every
-    // consumer's null-guarded math treats exactly like a present-but-empty
-    // stats row — and keeping them would let the broadcast table silently
-    // outgrow the measured ELIGIBLE-group cardinality that statsJoinForm's
-    // driver-OOM guard is based on (a heavily-flagged corpus can have far
-    // more domains than reference-eligible domains).
-    val merged = partial.groupBy(keyCols: _*).agg(
-      sum("_ps").as("_s"),
-      sum("_pq").as("_q"),
-      sum("_pn").as("_n"))
-      .filter(col("_n") > 0)
-    // capped mode: carry the pre-cap group size so consumers can re-derive
-    // per-row whether THIS row was sampled (LOO terms must only subtract
-    // contributions that are actually inside the sampled statistics)
-    (capReady, nGroups) match {
-      case (Some(c), Some(n)) => statsJoinForm(merged.join(c, keys, "left"), n, cfg)
-      case _                  => joinReady(merged, cfg)
+        // ONE pass: stats and pre-cap group sizes from the same aggregation
+        // (x may be null on an eligible row — _n counts non-null x only,
+        // _gn counts every eligible row, exactly like the old count pass)
+        val xl = x.cast("long")
+        val fused = graft.cascade.Cascade.materialize(
+          df.filter(refFilter)
+            .groupBy(keyCols :+ saltCol: _*)
+            .agg(sum(xl).as("_ps"), sum(xl * xl).as("_pq"),
+              count(xl).as("_pn"), count(lit(1)).as("_pg"))
+            .groupBy(keyCols: _*)
+            .agg(sum("_ps").as("_s"), sum("_pq").as("_q"),
+              sum("_pn").as("_n"), sum("_pg").as("_gn")))
+        // one driver action measures the group cardinality (drives the join
+        // form) AND whether any group exceeds the cap
+        val head = fused.agg(count(lit(1)), max("_gn")).head()
+        val nGroups = head.getLong(0)
+        val maxGn = if (nGroups == 0 || head.isNullAt(1)) 0L else head.getLong(1)
+        if (maxGn <= cap) {
+          // no group binds the cap: the unsampled stats ARE the capped
+          // stats, and _gn (carried so consumers can re-derive per-row
+          // sample membership for the LOO terms) rides along for free
+          statsJoinForm(fused.filter(col("_n") > 0), nGroups, cfg)
+        } else {
+          // the cap binds somewhere: deterministic proportional thinning —
+          // keep row iff its url hash falls under cap/n of the hash space
+          // (exact at any parallelism) — reusing the counts already in hand
+          val capReady = statsJoinForm(fused.select(keyCols :+ col("_gn"): _*),
+            nGroups, cfg)
+          val sampled = df.join(capReady, keys, "left")
+            .filter(col("_gn").isNull || inSampleCond(cap, col("_gn")))
+            .drop("_gn")
+          val merged = mergedStats(sampled, when(refFilter, x.cast("long")))
+          statsJoinForm(merged.join(capReady, keys, "left"), nGroups, cfg)
+        }
     }
   }
 
