@@ -328,6 +328,12 @@ object Cascade {
       sweepExcept(added)
       c
     }
+    // UI/diagnostic labels for the run's driver-side actions (guide: label
+    // your jobs); thread-local, cleared after each materialization
+    def labeled[T](desc: String)(f: => T): T = {
+      sc.setJobDescription(desc)
+      try f finally sc.setJobDescription(null)
+    }
     // ingest-time duplicate drop BEFORE any check (read_data_to_check.r:
     // 122-143): duplicates must never inflate neighborhood statistics.
     // Self-join-shaped, so the input is materialized like selfRef stages;
@@ -339,7 +345,8 @@ object Cascade {
     // row, after the drop (result-identical — features are deterministic
     // per row; see Ingest.normalizeCore).
     val deduped = if (cfg.dedupIngest) {
-      val (m, _) = matTracked(Ingest.normalizeCore(pages, cfg))
+      val (m, _) = labeled("cascade: ingest-dedup ckpt")(
+        matTracked(Ingest.normalizeCore(pages, cfg)))
       Ingest.features(Ingest.dropDuplicatePages(m))
     } else Ingest.normalize(pages, cfg)
     val prepared = Ingest.stampLists(deduped, cfg)
@@ -351,7 +358,8 @@ object Cascade {
       pages.queryExecution.optimizedPlan.stats.sizeInBytes >= cfg.payloadSplitMinBytes
     val checked =
       if (firstSelf < 0 || !payloadSplit || !bigEnough)
-        stageList.foldLeft(prepared) { case (d, s) => s.f(if (s.selfRef) ckpt(d) else d) }
+        stageList.foldLeft(prepared) { case (d, s) =>
+          s.f(if (s.selfRef) labeled(s"cascade: input ckpt for stage ${s.code}")(ckpt(d)) else d) }
       else {
         val prefixed = stageList.take(firstSelf).foldLeft(prepared) { case (d, s) => s.f(d) }
         val (full, fullIds) = matTracked(prefixed.withColumn(RowId, monotonically_increasing_id()))

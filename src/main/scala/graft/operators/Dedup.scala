@@ -56,13 +56,19 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.6,
                    maxShingleDf: Int = 1000): DataFrame = {
     // materialize the shingle frame once (lazy local checkpoint): it feeds
-    // the df-cap aggregate, both self-join sides, and the cardinalities —
-    // four scans that would otherwise each re-run the explode
+    // the df-cap aggregate and the semi-join probe side — two scans that
+    // would otherwise each re-run the explode
     val sh = shingles(df, textCol, idCol, n).localCheckpoint(false)
+    // materialize the PRUNED frame too: it feeds both self-join sides and
+    // the per-doc cardinalities (and the cards frame feeds two join sides),
+    // so without a checkpoint the whole df-cap aggregation + its broadcast
+    // build re-runs once per consumer — the measured plan had the
+    // Scan→HashAggregate→Exchange→HashAggregate→BroadcastExchange subtree
+    // FOUR times with zero exchange reuse
     val pruned = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
         .filter(col("_df") <= maxShingleDf).select("shingle"),
-      Seq("shingle"), "left_semi")
+      Seq("shingle"), "left_semi").localCheckpoint(false)
     val cards = pruned.groupBy(col(idCol)).agg(count(lit(1)).as("card"))
 
     val a = pruned.select(col(idCol).as("id_a"), col("shingle"))
@@ -116,8 +122,8 @@ object Dedup {
     */
   def lineDedup(df: DataFrame, textCol: String, idCol: String,
                 wordsPerLine: Int = 10): DataFrame = {
-    // materialized once: feeds the keeper aggregate, the semi join probe
-    // side, and the per-doc totals
+    // materialized once: feeds the keeper aggregate and the keeper-mark
+    // join probe side
     val ln = lines(df, textCol, idCol, wordsPerLine)
       .withColumn("_lfp", md5(col("line")))
       .localCheckpoint(false)
@@ -125,17 +131,24 @@ object Dedup {
       .agg(min(struct(col(idCol), col("line_no"))).as("_k"))
       .select(col("_lfp"), col(s"_k.$idCol").as(idCol),
         col("_k.line_no").as("line_no"))
-    val kept = ln.join(keep, Seq("_lfp", idCol, "line_no"), "left_semi")
-    val keptAgg = kept.groupBy(col(idCol)).agg(
-      count(lit(1)).as("n_kept"),
-      md5(concat_ws("\n",
-        transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
-          s => s("line")))).as("kept_fp"))
-    val allAgg = ln.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
-    allAgg.join(keptAgg, Seq(idCol), "left")
-      .select(col(idCol), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
+    // ONE per-doc aggregation computes totals, survivor count and the
+    // reassembled fingerprint together: mark each line occurrence by a
+    // left join against the keeper table (exactly one keeper row per
+    // _lfp, so multiplicity is preserved), then count rows and marks and
+    // collect only the marked lines (collect_list skips nulls; a doc with
+    // zero survivors yields the empty-string md5, exactly the old
+    // coalesce fallback). The previous shape aggregated the line frame
+    // twice (survivors and totals separately) and joined the two back.
+    val marked = ln.join(keep.withColumn("_keep", lit(1)),
+      Seq("_lfp", idCol, "line_no"), "left")
+    marked.groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_lines"),
+        count(col("_keep")).as("n_kept"),
+        md5(concat_ws("\n",
+          transform(array_sort(collect_list(
+            when(col("_keep") === 1, struct(col("line_no"), col("line"))))),
+            s => s("line")))).as("kept_fp"))
+      .select(col(idCol), col("n_lines"), col("n_kept"), col("kept_fp"))
   }
 
   /** Benchmark decontamination: flag corpus documents sharing any word
@@ -152,12 +165,21 @@ object Dedup {
     */
   def decontaminate(corpus: DataFrame, bench: DataFrame,
                     textCol: String, idCol: String, n: Int = 3): DataFrame = {
-    val cs = shingles(corpus, textCol, idCol, n).localCheckpoint(false)
+    val cs = shingles(corpus, textCol, idCol, n)
     val bs = shingles(bench, textCol, idCol, n).select("shingle").distinct()
-    val cards = cs.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
-    val hits = cs.join(broadcast(bs), Seq("shingle"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contam"))
-    hits.join(cards, Seq(idCol))
+    // ONE aggregation pass computes both the per-doc cardinality and the
+    // contaminated-shingle count: mark each corpus shingle by a broadcast
+    // left join against the (distinct, so multiplicity-preserving)
+    // benchmark set, then count rows and marks together. The previous
+    // two-aggregate + join shape scanned the shingle frame twice and paid
+    // a third join to reunite the counts — and needed the shingle frame
+    // checkpointed to avoid re-running the explode, which this single-
+    // consumer shape no longer does.
+    val marked = cs.join(broadcast(bs.withColumn("_hit", lit(1))),
+      Seq("shingle"), "left")
+    marked.groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_shingles"), count(col("_hit")).as("n_contam"))
+      .filter(col("n_contam") > 0)
       .withColumn("contam_frac",
         col("n_contam").cast("double") / col("n_shingles").cast("double"))
       .select(idCol, "n_contam", "n_shingles", "contam_frac")
@@ -210,7 +232,11 @@ object Dedup {
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
     val small = keyed.groupBy("band", "bkey").agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") <= maxBucketSize).select("band", "bkey")
+    // checkpointed: both self-join sides read it, and without this the
+    // hot-bucket aggregation + its broadcast build run once per side
+    // (same duplicated-subtree shape as ngramJaccard's pruned frame)
     val pruned = keyed.join(small, Seq("band", "bkey"), "left_semi")
+      .localCheckpoint(false)
     val l = pruned.select(col("band"), col("bkey"), col(idCol).as("id_a"))
     val r = pruned.select(col("band"), col("bkey"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))

@@ -71,9 +71,27 @@ object Ingest {
       m.foldLeft(lit(default)) { case (acc, (d, v)) =>
         when(col(Domain) === d, lit(v)).otherwise(acc)
       }
-    df.withColumn(Doit, lookup(cfg.doit, 1))
-      .withColumn(Prio, lookup(cfg.priorities, 0))
+    withCols(df, Seq(Doit -> lookup(cfg.doit, 1), Prio -> lookup(cfg.priorities, 0)))
       .filter(col(Doit) =!= 0)
+  }
+
+  /** withColumn-chain collapse: apply a SEQUENCE of (name, expr) pairs as
+    * ONE Dataset operation with withColumn's exact semantics — an existing
+    * name is replaced in place, a new name is appended in sequence order.
+    * Every Dataset operation analyzes the whole upstream logical plan
+    * eagerly, so an n-column withColumn chain over the cascade's deep
+    * prefix costs n full analyzer passes; this helper pays one. Expressions
+    * must reference only columns of the INPUT frame (they cannot see each
+    * other), which withColumn chains where later columns read earlier ones
+    * must keep as separate layers.
+    */
+  private[graft] def withCols(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    val m = cols.toMap
+    require(m.size == cols.size, "duplicate column names in withCols")
+    val existing = df.columns
+    val replaced = existing.map(c => m.get(c).map(_.as(c)).getOrElse(col(c)))
+    val appended = cols.collect { case (n, e) if !existing.contains(n) => e.as(n) }
+    df.select(replaced ++ appended: _*)
   }
 
   /** The one-time derived-feature projection every check reuses. The five
@@ -82,11 +100,15 @@ object Ingest {
     * whole feature pass costs one byte scan + one tokenization per row.
     */
   def features(df: DataFrame): DataFrame =
-    derive(df.withColumn(Stats, TextFeatures.textStats(col(Text))))
+    derive(withCols(df, Seq(
+      // Stats stays its own projection layer: the 7 derived features each
+      // reference the struct COLUMN, so the byte-scan expression evaluates
+      // once per row instead of once per feature
+      Stats -> TextFeatures.textStats(col(Text)),
       // stamped here so every consumer of the feature frame (cascade,
       // sctFgDual pseudo-docs, single-stage queries) carries it; the
       // neighborhood family reads ONLY this hash, never the url string
-      .withColumn(UrlHash, xxhash64(col(Url)))
+      UrlHash -> xxhash64(col(Url)))))
 
   /** Scalar features from an existing stats struct (cheap; re-run after any
     * text rewrite that refreshed the struct, e.g. the backfill). Every
@@ -94,18 +116,20 @@ object Ingest {
     * plain arithmetic over the struct fields: the giant replace/split
     * expression trees that used to blow past janino's 64 KB method limit
     * (killing whole-stage codegen for the fused row-local chain) are gone.
+    * One projection ([[withCols]]): all seven features read only the stats
+    * struct, so they need no intermediate layers.
     */
   def derive(df: DataFrame): DataFrame = {
     val st = col(Stats)
     val nw = TextFeatures.nWordsOf(st)
-    df
-      .withColumn(NChars, st("nchars"))
-      .withColumn(NWords, nw)
-      .withColumn(MeanWordLen, TextFeatures.meanWordLenOf(st))
-      .withColumn(SymbolRatio, TextFeatures.symbolRatioOf(st))
-      .withColumn(StopRatio, TextFeatures.stopwordRatioOf(st, col(NWords)))
-      .withColumn(DistinctWordRatio, TextFeatures.distinctWordRatioOf(st, col(NWords)))
-      .withColumn(DigitRatio, TextFeatures.digitRatioOf(st))
+    withCols(df, Seq(
+      NChars -> st("nchars"),
+      NWords -> nw,
+      MeanWordLen -> TextFeatures.meanWordLenOf(st),
+      SymbolRatio -> TextFeatures.symbolRatioOf(st),
+      StopRatio -> TextFeatures.stopwordRatioOf(st, nw),
+      DistinctWordRatio -> TextFeatures.distinctWordRatioOf(st, nw),
+      DigitRatio -> TextFeatures.digitRatioOf(st)))
   }
 
   /** Blacklist (999) then keeplist (990) stamps — blacklist wins, keep only

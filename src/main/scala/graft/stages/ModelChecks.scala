@@ -129,14 +129,17 @@ object ModelChecks {
         graft.functions.ModelFeaturesExpr(
           org.apache.spark.sql.GraftColumns.exprOf(coalesce(col(Text), lit(""))),
           bc, nMembers))
-    var out = df
-      .withColumn("_mf", mf)
-      .withColumn(DetLang, col(s"_mf.det_lang"))
-      .withColumn(DetLangConf, col(s"_mf.det_conf"))
-    (0 until nMembers).foreach { i =>
-      out = out.withColumn(s"$LogPpl$i", col(s"_mf.ppl$i"))
-    }
-    out.drop("_mf").withColumn(LogPpl, col(s"${LogPpl}0"))
+    // two Dataset ops, not 4+n: the expensive expression gets its own
+    // layer (each field extraction references the COLUMN, so it evaluates
+    // once per row), then every field lands in one projection
+    // (Ingest.withCols — a withColumn chain costs one full analyzer pass
+    // of the deep cascade prefix per column)
+    val withMf = Ingest.withCols(df, Seq("_mf" -> mf))
+    Ingest.withCols(withMf, Seq(
+      DetLang -> col("_mf.det_lang"),
+      DetLangConf -> col("_mf.det_conf")) ++
+      (0 until nMembers).map(i => s"$LogPpl$i" -> col(s"_mf.ppl$i")) :+
+      (LogPpl -> col(s"_mf.ppl0"))).drop("_mf")
   }
 
   /** A/B hook (SPARK_GRAFT_MODEL_UDF=1): the round-3 fused-UDF form of the
@@ -305,15 +308,18 @@ object ModelChecks {
     val recoverable = col(Dqc) === FlagCodes.Metadata &&
       col(Html).isNotNull && length(col(Html)) > 0 &&
       (col(Text).isNull || length(trim(col(Text))) === 0)
-    val filled = df
-      .withColumn("_recov", recoverable)
-      .withColumn(Text, when(col("_recov"), Scrubber.extractText(col(Html))).otherwise(col(Text)))
-      .withColumn(Dqc, when(col("_recov"), lit(null).cast("int")).otherwise(col(Dqc)))
+    // three layers (down from a five-op withColumn chain): the _recov mark,
+    // then text+dqc together (both read only the marked frame), then the
+    // stats refresh (reads the REWRITTEN text — must be its own layer)
+    val marked = Ingest.withCols(df, Seq("_recov" -> recoverable))
+    val filled = Ingest.withCols(Ingest.withCols(marked, Seq(
+        Text -> when(col("_recov"), Scrubber.extractText(col(Html))).otherwise(col(Text)),
+        Dqc -> when(col("_recov"), lit(null).cast("int")).otherwise(col(Dqc)))),
       // refresh the stats struct only where text actually changed; the
       // scalar features re-derive cheaply from it for every row
-      .withColumn(Cols.Stats,
+      Seq(Cols.Stats ->
         when(col("_recov"), graft.functions.TextFeatures.textStats(col(Text)))
-          .otherwise(col(Cols.Stats)))
+          .otherwise(col(Cols.Stats))))
       .drop("_recov")
     RowChecks.metadata.transform(Ingest.derive(filled), cfg)
   }

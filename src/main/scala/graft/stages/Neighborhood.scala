@@ -95,7 +95,10 @@ object Neighborhood {
               sum("_pn").as("_n"), sum("_pg").as("_gn")))
         // one driver action measures the group cardinality (drives the join
         // form) AND whether any group exceeds the cap
+        df.sparkSession.sparkContext.setJobDescription(
+          s"stats: fused agg+ckpt (${keys.mkString(",")})")
         val head = fused.agg(count(lit(1)), max("_gn")).head()
+        df.sparkSession.sparkContext.setJobDescription(null)
         val nGroups = head.getLong(0)
         val maxGn = if (nGroups == 0 || head.isNullAt(1)) 0L else head.getLong(1)
         if (maxGn <= cap) {
@@ -160,7 +163,10 @@ object Neighborhood {
     */
   private[stages] def joinReady(stats: DataFrame, cfg: CascadeConfig): DataFrame = {
     val ck = graft.cascade.Cascade.materialize(stats)
-    statsJoinForm(ck, ck.count(), cfg)
+    stats.sparkSession.sparkContext.setJobDescription("stats: ckpt+count")
+    val n = ck.count()
+    stats.sparkSession.sparkContext.setJobDescription(null)
+    statsJoinForm(ck, n, cfg)
   }
 
   /** SMJ-regime half of [[statsJoinForm]]: materialize the stats table as
