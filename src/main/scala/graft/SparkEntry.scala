@@ -283,11 +283,16 @@ object SparkEntry {
       val docs = Docs.read(s, dir)
       val inDir = java.nio.file.Paths.get(out, "in")
       java.nio.file.Files.createDirectories(inDir)
+      // ONE partitioned write job produces both slice files (was two
+      // sequential coalesce(1) write jobs); the partition column is
+      // excluded from the data files, so each slice carries exactly the
+      // documents schema, and repartition(1) yields one file per slice
+      val stage = s"$out/stage"
+      docs.withColumn("_par", pmod(col("doc_id"), lit(2)).cast("int"))
+        .repartition(1)
+        .write.partitionBy("_par").parquet(stage)
       Seq(0, 1).foreach { par =>
-        val stage = s"$out/stage$par"
-        docs.filter(pmod(col("doc_id"), lit(2)) === par).coalesce(1)
-          .write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
+        val part = new java.io.File(s"$stage/_par=$par").listFiles()
           .filter(_.getName.endsWith(".parquet")).head
         java.nio.file.Files.move(part.toPath, inDir.resolve(s"b$par.parquet"))
       }

@@ -93,20 +93,36 @@ object TableIO {
             s"(expected parent ${prev.current}); re-read the manifest and retry")
     }
     val dataDir = tableDir(root, name).resolve(s"data/s$id")
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
-    val rows = footerRowCount(dataDir)
-    // per-snapshot schema, written before the commit rename makes it
-    // visible — Iceberg serves the schema from table metadata, so a read
-    // never needs the footer-sniffing Spark job `spark.read.parquet`
-    // schedules for schema inference (measured: ~20 such 1-task jobs per
-    // resumable-cascade run, each pure core-count-invariant latency)
-    Files.write(tableDir(root, name).resolve(s"schema_s$id.json"),
-      df.schema.json.getBytes("UTF-8"))
-    val next = Manifest(id, prev.snapshots :+ Snapshot(id, rows))
-    val tmp = manifestPath(root, name).resolveSibling(s"manifest.json.tmp$id")
-    Files.write(tmp, render(next).getBytes("UTF-8"))
-    Files.move(tmp, manifestPath(root, name),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // any failure between the claimed marker and the manifest rename (task
+    // failure, disk full — not just a kill) must release the claim: an
+    // orphaned marker would make every later write throw a misleading
+    // CommitConflictException until an explicit vacuum. Clean up the marker
+    // and the partial data dir, then rethrow; vacuum remains the recovery
+    // path only for hard kills.
+    try {
+      df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+      val rows = footerRowCount(dataDir)
+      // per-snapshot schema, written before the commit rename makes it
+      // visible — Iceberg serves the schema from table metadata, so a read
+      // never needs the footer-sniffing Spark job `spark.read.parquet`
+      // schedules for schema inference (measured: ~20 such 1-task jobs per
+      // resumable-cascade run, each pure core-count-invariant latency)
+      Files.write(tableDir(root, name).resolve(s"schema_s$id.json"),
+        df.schema.json.getBytes("UTF-8"))
+      val next = Manifest(id, prev.snapshots :+ Snapshot(id, rows))
+      val tmp = manifestPath(root, name).resolveSibling(s"manifest.json.tmp$id")
+      Files.write(tmp, render(next).getBytes("UTF-8"))
+      Files.move(tmp, manifestPath(root, name),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case e: Throwable =>
+        try {
+          deleteRecursively(dataDir)
+          Files.deleteIfExists(tableDir(root, name).resolve(s"schema_s$id.json"))
+          Files.deleteIfExists(commitDir.resolve(s"s$id"))
+        } catch { case _: Throwable => } // best effort; vacuum covers the rest
+        throw e
+    }
     id
   }
 
@@ -123,15 +139,20 @@ object TableIO {
     // parallel over files: a snapshot has one file per write task (32+ at
     // bench parallelism), and the footer opens are independent metadata
     // reads — serializing them puts ~file-count × open-latency on the
-    // per-commit serial residue the scaling legs measure
-    Files.list(dataDir).parallel()
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .mapToLong { p =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
+    // per-commit serial residue the scaling legs measure.
+    // The stream is closed (this runs once per commit — the hot path —
+    // and an unclosed Files.list leaks a directory file descriptor).
+    val s = Files.list(dataDir)
+    try {
+      s.parallel()
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .mapToLong { p =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+    } finally s.close()
   }
 
   /** Read the current (or a specific) committed snapshot. The schema comes
@@ -169,7 +190,14 @@ object TableIO {
 
   /** Drop uncommitted data dirs and orphaned commit markers (recovery after
     * a kill between the CAS marker and the manifest rename — the marker
-    * without a committed snapshot would otherwise block that id forever).
+    * without a committed snapshot would otherwise block that id forever;
+    * clean failures release their own claim in [[write]]).
+    *
+    * MAINTENANCE OPERATION — like [[expireSnapshots]], run it from the
+    * table's single maintainer, never concurrently with an in-flight
+    * writer: it reclaims every marker absent from the manifest, including
+    * one a live writer just claimed, which would let a second writer
+    * claim the same id and overwrite its data dir.
     */
   def vacuum(root: String, name: String): Unit = {
     val m = readManifest(root, name).getOrElse(Manifest(-1L, Nil))

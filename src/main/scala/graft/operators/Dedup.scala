@@ -65,10 +65,16 @@ object Dedup {
     // build re-runs once per consumer — the measured plan had the
     // Scan→HashAggregate→Exchange→HashAggregate→BroadcastExchange subtree
     // FOUR times with zero exchange reuse
+    // pre-partitioned by the self-join key BEFORE the checkpoint: a local
+    // checkpoint preserves its plan's output partitioning, so both sides
+    // of the shingle equi-join below read already-co-partitioned blocks
+    // and the join plans with NO exchange — one shuffle of the shingle
+    // frame here instead of two at the join (df-capped, so no hot key)
     val pruned = sh.join(
       sh.groupBy("shingle").agg(count(lit(1)).as("_df"))
         .filter(col("_df") <= maxShingleDf).select("shingle"),
-      Seq("shingle"), "left_semi").localCheckpoint(false)
+      Seq("shingle"), "left_semi")
+      .repartition(col("shingle")).localCheckpoint(false)
     val cards = pruned.groupBy(col(idCol)).agg(count(lit(1)).as("card"))
 
     val a = pruned.select(col(idCol).as("id_a"), col("shingle"))
@@ -234,7 +240,11 @@ object Dedup {
       .filter(col("_bsz") <= maxBucketSize).select("band", "bkey")
     // checkpointed: both self-join sides read it, and without this the
     // hot-bucket aggregation + its broadcast build run once per side
-    // (same duplicated-subtree shape as ngramJaccard's pruned frame)
+    // (same duplicated-subtree shape as ngramJaccard's pruned frame).
+    // NOT pre-partitioned by the band key (unlike ngramJaccard's pruned):
+    // the banded frame is rowsPerBand-fold smaller than the shingle frame
+    // and its self-join broadcasts, so a pre-shuffle adds an exchange
+    // without removing one (measured: a small regression)
     val pruned = keyed.join(small, Seq("band", "bkey"), "left_semi")
       .localCheckpoint(false)
     val l = pruned.select(col("band"), col("bkey"), col(idCol).as("id_a"))

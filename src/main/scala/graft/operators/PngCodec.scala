@@ -114,6 +114,11 @@ object PngCodec {
     require(img != null, "undecodable image payload")
     val w = img.getWidth
     val h = img.getHeight
+    // pins the supported shape: bandPixels below assumes equal-height
+    // bands — with ragged bands the last band would absorb the remainder
+    // rows and its error would be divided by the wrong pixel count
+    require(h % nBands == 0,
+      s"jpegRoundTrip requires height ($h) divisible by nBands ($nBands)")
     val decSum = new Array[Long](nBands)
     val exSum = new Array[Long](nBands)
     var totAbs = 0L

@@ -158,9 +158,14 @@ object Similarity {
     */
   def annPairs(df: DataFrame, vecCol: String, idCol: String,
                nPlanes: Int = 8, threshold: Double = 0.9): DataFrame = {
+    // checkpointed: both self-join sides read the bucketed frame, and the
+    // bucket assignment is nPlanes interpreted higher-order-function folds
+    // per row (plus the norm fold) — without the checkpoint every row pays
+    // that twice, once per join side
     val bucketed = df.select(col(idCol), col(vecCol),
         norm(col(vecCol)).as("_nv"))
       .withColumn("bucket", lshBucket(col(vecCol), nPlanes))
+      .localCheckpoint(false)
     val l = bucketed.select(col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("_va"), col("_nv").as("_na"))
     val r = bucketed.select(col("bucket"), col(idCol).as("id_b"),
