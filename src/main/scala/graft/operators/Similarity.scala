@@ -91,8 +91,12 @@ object Similarity {
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
               queryIds: Seq[Long], k: Int,
               nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
-    // norms precomputed once per side (see cosineTopK)
+    // norms precomputed once per side (see cosineTopK) and checkpointed:
+    // the normed base feeds the centroid hash-sample collect, the corpus
+    // assignment pass and the query probes — three scans that would each
+    // re-run the interpreted norm fold over every vector
     val base = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("_nv"))
+      .localCheckpoint(false)
     // deterministic hash sample (not lowest-N ids: recall would depend on
     // corpus order); tiny driver-side collect, ascending id for tie-breaks
     val centRows = base

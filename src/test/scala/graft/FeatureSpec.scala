@@ -96,6 +96,60 @@ class FeatureSpec extends SparkSpec {
     assert(n.columns.contains(Cols.Domain))
   }
 
+  test("fused groupStats == legacy two-pass stats in both cap regimes") {
+    // differential gate for the round-6 fusion: the capped groupStats now
+    // computes stats and pre-cap group sizes in ONE aggregation and only
+    // runs the sampling pass when some group actually exceeds the cap.
+    // The reference below is the old shape, inline: a count pass, the
+    // hash-proportional thinning, the salted stats pass, and the _gn
+    // reattach join. Frames are engineered to cover the corners: a group
+    // over the cap (sampling binds), a group under it, eligible rows with
+    // NULL x (counted in _gn, absent from _n), and a fully-flagged group
+    // (absent from the stats entirely).
+    def legacy(df: DataFrame, x: org.apache.spark.sql.Column, cap: Int): DataFrame = {
+      val keyCols = Seq(col(Cols.Domain))
+      val capCounts = df.filter(Stage.referenceEligible)
+        .groupBy(keyCols: _*).agg(count(lit(1)).as("_gn"))
+      val sampled = df.join(capCounts, Seq(Cols.Domain), "left")
+        .filter(col("_gn").isNull || Neighborhood.inSampleCond(cap, col("_gn")))
+        .drop("_gn")
+      val xl = when(Stage.referenceEligible, x.cast("long"))
+      val partial = sampled
+        .groupBy(keyCols :+ pmod(col(Cols.UrlHash), lit(8)).as("_salt"): _*)
+        .agg(sum(xl).as("_ps"), sum(xl * xl).as("_pq"), count(xl).as("_pn"))
+      partial.groupBy(keyCols: _*)
+        .agg(sum("_ps").as("_s"), sum("_pq").as("_q"), sum("_pn").as("_n"))
+        .filter(col("_n") > 0)
+        .join(capCounts, Seq(Cols.Domain), "left")
+    }
+    def frame(bigN: Int): DataFrame = {
+      val rows =
+        (0 until bigN).map(i =>
+          (s"https://big.example/$i", "big.example",
+            if (i % 7 == 0) None else Some(i % 23), Option.empty[Int])) ++
+        (0 until 10).map(i =>
+          (s"https://small.example/$i", "small.example", Some(100 + i), Option.empty[Int])) ++
+        (0 until 4).map(i =>
+          (s"https://dead.example/$i", "dead.example", Some(5), Some(FlagCodes.Blacklist)))
+      rows.toDF("url", Cols.Domain, "x", Cols.Dqc)
+        .withColumn(Cols.UrlHash, xxhash64(col("url")))
+        .withColumn(Cols.Doit, lit(1))
+        .localCheckpoint()
+    }
+    for (bigN <- Seq(30, 120)) { // cap 40: slack everywhere / binds on big
+      val df = frame(bigN)
+      val cfg = buddyOnlyCfg.copy(maxRefsPerGroup = Some(40))
+      val cols = Seq(Cols.Domain, "_s", "_q", "_n", "_gn").map(col)
+      val fused = Neighborhood.groupStats(df, col("x"), cfg)
+        .select(cols: _*).orderBy(Cols.Domain).collect().toSeq
+      val ref = legacy(df, col("x"), 40)
+        .select(cols: _*).orderBy(Cols.Domain).collect().toSeq
+      assert(fused === ref, s"bigN=$bigN: fused stats must equal the two-pass form")
+      assert(fused.map(_.getString(0)) === Seq("big.example", "small.example"),
+        "fully-flagged groups never appear; null-x rows keep their group via _gn")
+    }
+  }
+
   test("neighbor cap: giant group judged against a bounded deterministic sample") {
     val big = corpusOf("big.example", (0 until 500).map(i => 100 + (i % 5)) :+ 500)
     val cfg = buddyOnlyCfg.copy(maxRefsPerGroup = Some(50))
