@@ -34,8 +34,11 @@ object Similarity {
   def cosineTopK(df: DataFrame, vecCol: String, idCol: String,
                  queryIds: Seq[Long], k: Int): DataFrame = {
     // precompute each side's norm once: inlining cosine() would evaluate
-    // three 64-dim folds per comparison and triple the expression tree
+    // three 64-dim folds per comparison and triple the expression tree.
+    // Checkpointed: the normed corpus feeds both the query-side filter and
+    // the cross-score scan (two scans sharing one norm pass, as in ivfTopK)
     val corpus = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("_nv"))
+      .localCheckpoint(false)
     val queries = corpus.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"), col("_nv").as("_qn"))
     val scored = corpus.crossJoin(broadcast(queries))
