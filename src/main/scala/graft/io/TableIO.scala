@@ -100,7 +100,18 @@ object TableIO {
     // and the partial data dir, then rethrow; vacuum remains the recovery
     // path only for hard kills.
     try {
-      df.write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+      // Hadoop committer v2 (direct task commit) + no _SUCCESS marker: the
+      // v1 two-phase rename exists to make the DIRECTORY's contents appear
+      // atomically, but in this layout visibility is governed solely by the
+      // manifest rename below — readers never list data/s<id> before the
+      // snapshot is committed, and a failed write's partial files are
+      // removed by the catch below (or by vacuum after a hard kill). The
+      // redundant rename pass and marker file are per-commit serial
+      // filesystem latency, paid ~7 times per resumable-cascade run.
+      df.write.mode(SaveMode.Overwrite)
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .option("mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .parquet(dataDir.toString)
       val rows = footerRowCount(dataDir)
       // per-snapshot schema, written before the commit rename makes it
       // visible — Iceberg serves the schema from table metadata, so a read
