@@ -115,14 +115,18 @@ object Cascade {
         // checkpoints `once` registered while building) and release the
         // PREVIOUS round's as soon as the new round is materialized — a
         // 4-round iteration otherwise keeps four full light-corpus
-        // checkpoints pinned until the next stage-level sweep
+        // checkpoints pinned until the next stage-level sweep. The round
+        // checkpoint is LAZY: the suspect count below scans every
+        // partition and materializes it in the same Spark action (one job
+        // per round instead of two); the previous round's blocks are only
+        // unpersisted AFTER that count, since the lazy compute reads them.
         val before = tracker.snapshot
-        cur = materialize(once(cur), eager = true)
+        cur = materialize(once(cur), eager = false)
         val added = tracker.snapshot.diff(before)
+        val flagged = cur.filter(col(Dqc) === code).count()
         prevIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
         tracker.remove(prevIds)
         prevIds = added
-        val flagged = cur.filter(col(Dqc) === code).count()
         val fresh = flagged - prevFlagged
         prevFlagged = flagged
         i += 1
@@ -312,9 +316,9 @@ object Cascade {
     val tracker = new RunTracker
     runTracker.withValue(Some(tracker)) {
     var protectedIds: Set[Int] = Set.empty
-    def matTracked(d: DataFrame): (DataFrame, Set[Int]) = {
+    def matTracked(d: DataFrame, eager: Boolean = true): (DataFrame, Set[Int]) = {
       val before = tracker.snapshot
-      val c = materialize(d, eager = true)
+      val c = materialize(d, eager)
       (c, tracker.snapshot.diff(before))
     }
     def unpersistIds(ids: Set[Int]): Unit = {
@@ -334,6 +338,31 @@ object Cascade {
       sc.setJobDescription(desc)
       try f finally sc.setJobDescription(null)
     }
+    /** Fold one selfRef stage over a LAZY input checkpoint: the stage's own
+      * stats pass (every selfRef stage measures its per-group statistics
+      * with a driver action while its plan is built — that is what makes it
+      * selfRef) materializes the checkpoint inside that same Spark action,
+      * so the separate eager-checkpoint job the old shape paid per stage
+      * disappears. The sweep of superseded blocks is DEFERRED until after
+      * the stage ran: the lazy checkpoint's compute still reads the
+      * previous stage's blocks, and the stage's own stats checkpoints (its
+      * broadcast builds read them at the NEXT action) must survive it —
+      * both are exactly what the old shape kept alive across this window.
+      * A defensive check forces materialization in the (currently
+      * impossible) case of a selfRef stage that ran no action, so the
+      * sweep can never strand an unmaterialized lineage-truncated plan.
+      */
+    def foldSelfRef(d: DataFrame, s: StageDef): DataFrame =
+      labeled(s"cascade: stage ${s.code}") {
+        val (c, added) = matTracked(d, eager = false)
+        val before = tracker.snapshot
+        val out = s.f(c)
+        val fullyCached = sc.getRDDStorageInfo.exists(i =>
+          added.contains(i.id) && i.numCachedPartitions == i.numPartitions)
+        if (!fullyCached) c.count() // force: see scaladoc
+        sweepExcept(added ++ tracker.snapshot.diff(before))
+        out
+      }
     // ingest-time duplicate drop BEFORE any check (read_data_to_check.r:
     // 122-143): duplicates must never inflate neighborhood statistics.
     // Self-join-shaped, so the input is materialized like selfRef stages;
@@ -344,9 +373,13 @@ object Cascade {
     // whole f_* working set, and the feature pass runs once per surviving
     // row, after the drop (result-identical — features are deterministic
     // per row; see Ingest.normalizeCore).
+    // LAZY checkpoint: the first downstream action (the first selfRef
+    // stage's stats pass, or the payload-split `full` materialization)
+    // computes and pins it inside that same Spark action; its blocks are
+    // swept by that stage's deferred sweep, by which point both frames
+    // are materialized.
     val deduped = if (cfg.dedupIngest) {
-      val (m, _) = labeled("cascade: ingest-dedup ckpt")(
-        matTracked(Ingest.normalizeCore(pages, cfg)))
+      val (m, _) = matTracked(Ingest.normalizeCore(pages, cfg), eager = false)
       Ingest.features(Ingest.dropDuplicatePages(m))
     } else Ingest.normalize(pages, cfg)
     val prepared = Ingest.stampLists(deduped, cfg)
@@ -359,7 +392,7 @@ object Cascade {
     val checked =
       if (firstSelf < 0 || !payloadSplit || !bigEnough)
         stageList.foldLeft(prepared) { case (d, s) =>
-          s.f(if (s.selfRef) labeled(s"cascade: input ckpt for stage ${s.code}")(ckpt(d)) else d) }
+          if (s.selfRef) foldSelfRef(d, s) else s.f(d) }
       else {
         val prefixed = stageList.take(firstSelf).foldLeft(prepared) { case (d, s) => s.f(d) }
         val (full, fullIds) = matTracked(prefixed.withColumn(RowId, monotonically_increasing_id()))
@@ -373,7 +406,8 @@ object Cascade {
         // already materialized, so only LATER selfRef inputs re-checkpoint
         def foldRest(start: DataFrame): DataFrame =
           stageList.drop(firstSelf).zipWithIndex.foldLeft(start) {
-            case (d, (s, i)) => s.f(if (s.selfRef && i > 0) ckpt(d) else d)
+            case (d, (s, i)) =>
+              if (s.selfRef && i > 0) foldSelfRef(d, s) else s.f(d)
           }
         if (payloadCols.isEmpty) {
           foldRest(full).drop(RowId)
